@@ -1,0 +1,262 @@
+"""Pallas TPU kernels for the hot SWAR ops.
+
+The jnp formulas in :mod:`pint_tpu.ops.word` lower to fused XLA elementwise
+loops already; these Pallas kernels exist to (a) pin the tiling/VMEM
+residency explicitly for the roofline bench, (b) serve as the fusion site
+for multi-op chains (saturating accumulate, packed control updates) where
+one HBM round-trip replaces several, and (c) host the fixed-point MPC inner
+kernels.  The kernel bodies *reuse* the exact branch-free formulas -- a
+Pallas kernel here is "formula + residency plan", nothing else, which keeps
+the two paths bit-identical by construction (parity-tested in
+tests/test_pallas.py).
+
+Tiling: words are flattened and padded to (rows, COLS) with COLS=512 lanes,
+then gridded over row blocks sized to the VPU's (8, 128) int32 tile
+(pallas_guide: Tiling Constraints).  Word dtypes of 8/16/32 bits run native;
+64-bit words fall back to the jnp path (TPUs have no 64-bit integer vector
+unit -- XLA emulates them -- so a Pallas u64 kernel would be slower than the
+emulated XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pint_tpu.layout import PackedLayout
+from pint_tpu.ops import word as W
+
+Array = jax.Array
+
+__all__ = [
+    "supported",
+    "binop",
+    "shift",
+    "saturating_accumulate",
+    "BINOP_NAMES",
+    "SHIFT_NAMES",
+]
+
+BINOP_NAMES = (
+    "add_wrap",
+    "add_unsigned_saturate",
+    "add_signed_saturate",
+    "sub_wrap",
+    "sub_unsigned_saturate",
+    "sub_signed_saturate",
+    "min_unsigned",
+    "max_unsigned",
+    "min_signed",
+    "max_signed",
+)
+SHIFT_NAMES = ("shift_left", "shift_right_unsigned")
+
+_COLS = 512
+_BLOCK_ROWS = 256
+
+
+def supported(layout: PackedLayout) -> bool:
+    """Whether a native Pallas kernel exists for this layout's word dtype."""
+    return layout.word_bits in (8, 16, 32)
+
+
+def _tile_shape(total: int) -> tuple[int, int, int]:
+    """(rows, padded_total, block_rows) for a flat word count."""
+    rows = -(-total // _COLS)
+    # row padding keeps the grid uniform; zero words are harmless for all ops
+    block_rows = min(_BLOCK_ROWS, max(8, rows))
+    rows = -(-rows // block_rows) * block_rows
+    return rows, rows * _COLS, block_rows
+
+
+def _elementwise_call(kernel, n_in: int, shape, dtype, block_rows, rows, interpret):
+    grid = (rows // block_rows,)
+    spec = pl.BlockSpec(
+        (block_rows, _COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        grid=grid,
+        in_specs=[spec] * n_in,
+        out_specs=spec,
+        interpret=interpret,
+    )
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _flatten_pad(x: Array, padded_total: int) -> Array:
+    flat = x.reshape(-1)
+    pad = padded_total - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(-1, _COLS)
+
+
+@functools.lru_cache(maxsize=None)
+def _binop_impl(layout: PackedLayout, name: str, interpret: bool):
+    formula = getattr(W, name)
+
+    def kernel(a_ref, b_ref, out_ref):
+        out_ref[:] = formula(layout, a_ref[:], b_ref[:])
+
+    @jax.jit
+    def run(a: Array, b: Array) -> Array:
+        shape = a.shape
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        a2 = _flatten_pad(a, padded_total)
+        b2 = _flatten_pad(b, padded_total)
+        out = _elementwise_call(
+            kernel, 2, a2.shape, a2.dtype, block_rows, rows, interpret
+        )(a2, b2)
+        return out.reshape(-1)[:total].reshape(shape)
+
+    return run
+
+
+def binop(
+    layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
+) -> Callable[[Array, Array], Array]:
+    """A Pallas-backed binary SWAR op ``(words, words) -> words``.
+
+    Falls back to the jnp path for unsupported word dtypes (u64).
+    ``interpret=None`` auto-selects interpreter mode off-TPU so the same
+    tests run everywhere.
+    """
+    if name not in BINOP_NAMES:
+        raise ValueError(f"unknown binop {name!r}")
+    if not supported(layout):
+        formula = getattr(W, name)
+        return jax.jit(lambda a, b: formula(layout, a, b))
+    if interpret is None:
+        interpret = _default_interpret()
+    return _binop_impl(layout, name, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_impl(layout: PackedLayout, name: str, interpret: bool):
+    formula = getattr(W, name)
+
+    def kernel(amt_ref, v_ref, out_ref):
+        out_ref[:] = formula(layout, v_ref[:], amt_ref[0])
+
+    @jax.jit
+    def run(v: Array, amount) -> Array:
+        shape = v.shape
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        v2 = _flatten_pad(v, padded_total)
+        amt = jnp.asarray(amount, dtype=jnp.int32).reshape(1)
+        grid = (rows // block_rows,)
+        spec = pl.BlockSpec(
+            (block_rows, _COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                spec,
+            ],
+            out_specs=spec,
+            interpret=interpret,
+        )(amt, v2)
+        return out.reshape(-1)[:total].reshape(shape)
+
+    return run
+
+
+def shift(
+    layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
+) -> Callable[[Array, object], Array]:
+    """A Pallas-backed lane shift ``(words, amount) -> words`` with the
+    amount living in SMEM (runtime scalar, branch-free guard intact)."""
+    if name not in SHIFT_NAMES:
+        raise ValueError(f"unknown shift {name!r}")
+    if not supported(layout):
+        formula = getattr(W, name)
+        return jax.jit(lambda v, a: formula(layout, v, a))
+    if interpret is None:
+        interpret = _default_interpret()
+    return _shift_impl(layout, name, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _sat_accum_impl(layout: PackedLayout, signed: bool, steps: int, interpret: bool):
+    formula = W.add_signed_saturate if signed else W.add_unsigned_saturate
+
+    def kernel(acc_ref, d_ref, out_ref):
+        acc = acc_ref[:]
+        for s in range(steps):
+            acc = formula(layout, acc, d_ref[s])
+        out_ref[:] = acc
+
+    @jax.jit
+    def run(acc: Array, deltas: Array) -> Array:
+        # deltas: (steps, *acc.shape)
+        shape = acc.shape
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        a2 = _flatten_pad(acc, padded_total)
+        d2 = jnp.stack(
+            [_flatten_pad(deltas[s], padded_total) for s in range(steps)]
+        )
+        spec = pl.BlockSpec(
+            (block_rows, _COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (steps, block_rows, _COLS), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(a2.shape, a2.dtype),
+            grid=(rows // block_rows,),
+            in_specs=[spec, dspec],
+            out_specs=spec,
+            interpret=interpret,
+        )(a2, d2)
+        return out.reshape(-1)[:total].reshape(shape)
+
+    return run
+
+
+def saturating_accumulate(
+    layout: PackedLayout,
+    *,
+    signed: bool = True,
+    steps: int = 1,
+    interpret: Optional[bool] = None,
+) -> Callable[[Array, Array], Array]:
+    """Fused multi-step saturating accumulate: ``acc <- sat(acc + d_s)`` for
+    each of ``steps`` delta planes, one HBM round-trip total.
+
+    This is the fusion pattern the MPC control update uses (saturating packed
+    control updates over several PGD sub-steps); as a standalone op it shows
+    the Pallas win over op-at-a-time execution: 2+steps HBM streams instead
+    of 3*steps.
+    """
+    if not supported(layout):
+        formula = W.add_signed_saturate if signed else W.add_unsigned_saturate
+
+        @jax.jit
+        def fallback(acc, deltas):
+            for s in range(steps):
+                acc = formula(layout, acc, deltas[s])
+            return acc
+
+        return fallback
+    if interpret is None:
+        interpret = _default_interpret()
+    return _sat_accum_impl(layout, signed, steps, interpret)

@@ -9,7 +9,9 @@ pint_test.cpp:82-87) are testable.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of ambient env: the unit suite must be runnable
+# everywhere; TPU execution is exercised by bench.py and the driver.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the env var alone is not enough under the axon PJRT plugin, which
+# registers itself at interpreter startup; the config update wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
