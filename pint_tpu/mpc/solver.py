@@ -1,0 +1,129 @@
+"""Fixed-point projected-gradient MPC solver (single device).
+
+The TPU inner loop for the box-constrained condensed QP of
+:mod:`pint_tpu.mpc.condensed`, built entirely from integer TPU primitives:
+
+* **MXU**: the gradient matmul runs int8 x int8 -> int32
+  (``preferred_element_type=jnp.int32``) -- the systolic array does the
+  heavy lifting at int8 density.
+* **VPU**: the step rescale is one int32 multiply + arithmetic shift
+  (``hs_num``/``hs_den`` rational from quantization time).
+* **SWAR substrate**: the control iterate lives as int8 lanes packed
+  4-per-uint32; the iterate update is ``add_signed_saturate`` on packed
+  words and the box floor re-clamp is packed ``max_signed`` -- i.e. the
+  saturating packed control update of BASELINE.json, exercising the pint
+  capability set (pint.hpp:857-866, 987-1004) on every iteration.
+* **No data-dependent control flow**: a `lax.fori_loop` with a static trip
+  count; everything jit-compiles to one XLA program.
+
+The whole solver is a pure function on pytrees; `vmap`/`shard_map` batch it
+across problems (8192 rollouts in the headline config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pint_tpu.layout import PackedLayout
+from pint_tpu.models.dynamics import (
+    CONTROL_LAYOUT,
+    pack_controls,
+    unpack_controls,
+)
+from pint_tpu.mpc.condensed import CondensedQP, QuantizedQP
+from pint_tpu.ops import word as W
+
+Array = jax.Array
+
+__all__ = ["FixedPointPGD"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedPointPGD:
+    """Configured solver for one quantized QP (shared across the batch)."""
+
+    qqp: QuantizedQP
+    iters: int = 40
+
+    # -- device constants ---------------------------------------------------
+
+    @functools.cached_property
+    def Hq_dev(self) -> Array:
+        return jnp.asarray(self.qqp.Hq)  # (Tp, Tp) int8
+
+    @functools.cached_property
+    def lower_words(self) -> Array:
+        """Packed words of the lane lower bound (-127): the symmetric box's
+        floor, re-applied after the saturating update (saturation floor is
+        -128)."""
+        return W.pack(
+            CONTROL_LAYOUT, jnp.full((1, 4), -127, jnp.int32)
+        )  # (1,) uint32
+
+    # -- one PGD iteration on packed words ---------------------------------
+
+    def _iterate(self, u_words: Array, g_pre: Array) -> Array:
+        """u_words: (B, Tp/4) uint32; g_pre: (B, Tp) int32 pre-shift lane
+        units."""
+        lanes = unpack_controls(u_words)  # (B, Tp) int32
+        acc = jax.lax.dot_general(
+            lanes.astype(jnp.int8),
+            self.Hq_dev,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, Tp) int32 = U @ Hq^T
+        pre = (acc * np.int32(self.qqp.hs_num)) >> np.int32(self.qqp.hs_den)
+        step = -(pre + g_pre)
+        # round-to-nearest lane delta, clamped into int8 pack range
+        half = np.int32(1 << (self.qqp.g_shift - 1))
+        delta = (step + half) >> np.int32(self.qqp.g_shift)
+        delta = jnp.clip(delta, -128, 127)
+        delta_words = pack_controls(delta)
+        u_words = W.add_signed_saturate(CONTROL_LAYOUT, u_words, delta_words)
+        # box floor: saturation reaches -128, the box stops at -127
+        u_words = W.max_signed(
+            CONTROL_LAYOUT, u_words, jnp.broadcast_to(self.lower_words, u_words.shape)
+        )
+        return u_words
+
+    # -- public API ---------------------------------------------------------
+
+    def init_words(self, batch: int) -> Array:
+        return jnp.zeros((batch, self.qqp.padded // 4), jnp.uint32)
+
+    def solve_words(self, u_words: Array, g_pre: Array) -> Array:
+        """Run ``iters`` PGD steps.  Pure function: jit/vmap/shard_map safe."""
+
+        def body(_, u):
+            return self._iterate(u, g_pre)
+
+        return jax.lax.fori_loop(0, self.iters, body, u_words)
+
+    def solve(self, x0_phys: np.ndarray) -> Tuple[Array, Array]:
+        """Convenience end-to-end solve for a batch of initial states.
+
+        Returns (packed words, physical control sequences (B, T) float32).
+        """
+        g_pre = jnp.asarray(self.qqp.g_lane_fixed(np.atleast_2d(x0_phys)))
+        u0 = self.init_words(g_pre.shape[0])
+        words = jax.jit(self.solve_words)(u0, g_pre)
+        lanes = unpack_controls(words)[:, : self.qqp.horizon]
+        return words, lanes.astype(jnp.float32) * np.float32(self.qqp.u_scale)
+
+    # -- diagnostics ---------------------------------------------------------
+
+    def cost(self, lanes_phys: np.ndarray, x0_phys: np.ndarray) -> np.ndarray:
+        """Float64 QP objective of a (batch of) control sequences."""
+        qp = self.qqp.qp
+        U = np.asarray(lanes_phys, np.float64)
+        x0 = np.atleast_2d(np.asarray(x0_phys, np.float64))
+        g = x0 @ qp.G.T + qp.g_ref
+        return 0.5 * np.einsum("bi,ij,bj->b", U, qp.H, U) + np.einsum(
+            "bi,bi->b", g, U
+        )
