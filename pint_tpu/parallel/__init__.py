@@ -1,0 +1,4 @@
+from pint_tpu.parallel.mesh import host_local_mesh, make_mesh
+from pint_tpu.parallel.solver import ShardedPGD
+
+__all__ = ["make_mesh", "host_local_mesh", "ShardedPGD"]
