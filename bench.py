@@ -1,0 +1,157 @@
+"""Per-chip roofline bench for the packed SWAR ops + MPC solves/s.
+
+TPU-native replacement for the reference Google-Benchmark suite
+(tests/pint_bench.cpp): where the reference streams 100M random uint32 pairs
+through each op and reports items/s against scalar/SSE2/NEON baselines
+(pint_bench.cpp:24-37, 59-95), this bench streams word tensors through the
+jitted ops and reports *lane* throughput against the chip's speed of light.
+
+Speed-of-light model: the packed elementwise ops are HBM-bound (a handful of
+VPU int32 ops per word vs 12 bytes of traffic).  The calibration kernel --
+raw uint32 add, the analog of the reference's ``Baseline`` fixture
+(pint_bench.cpp:77-83) -- measures achievable words/s for the same traffic
+pattern; speed-of-light lane rate is ``lanes_per_word x raw_words_per_s``.
+``vs_baseline`` of the headline metric is measured lane rate / SOL lane rate
+(target >= 0.9 per BASELINE.json).
+
+Outputs ONE JSON line on stdout (driver contract); the full metric table is
+written to BENCH_full.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pint_tpu import PackedLayout
+from pint_tpu.ops import word as W
+
+N_WORDS = 1 << 25  # 32Mi words, 128 MiB per operand
+REPS = 10
+
+
+def _time_op(fn, *args) -> float:
+    """Median seconds/rep of a jitted fn (after warmup)."""
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _rand_words(layout: PackedLayout, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    w = rng.integers(0, 1 << layout.word_bits, size=n, dtype=np.uint64)
+    return jnp.asarray((w & np.uint64(layout.used_mask)).astype(layout.word_dtype))
+
+
+def bench_raw_add(n: int) -> float:
+    """Calibration: raw uint32 elementwise add, words/s."""
+    a = jnp.arange(n, dtype=jnp.uint32)
+    b = a + 1
+    f = jax.jit(lambda x, y: x + y)
+    sec = _time_op(f, a, b)
+    return n / sec
+
+
+def bench_packed_op(layout: PackedLayout, opname: str, n: int):
+    """(words/s, lane ops/s) of a jitted packed op."""
+    a = _rand_words(layout, n, 0)
+    b = _rand_words(layout, n, 1)
+    formula = getattr(W, opname)
+    f = jax.jit(lambda x, y: formula(layout, x, y))
+    sec = _time_op(f, a, b)
+    wps = n / sec
+    return wps, wps * layout.num_lanes
+
+
+def bench_pack_unpack(layout: PackedLayout, n: int):
+    """words/s for pack and unpack roundtrip ops."""
+    v = _rand_words(layout, n, 2)
+    unpack = jax.jit(lambda x: W.unpack(layout, x))
+    lanes = unpack(v)
+    jax.block_until_ready(lanes)
+    pack = jax.jit(lambda l: W.pack(layout, l))
+    sec_unpack = _time_op(unpack, v)
+    sec_pack = _time_op(pack, lanes)
+    return n / sec_unpack, n / sec_pack
+
+
+def bench_mpc(batch: int = 8192, horizon: int = 50, iters: int = 40):
+    """Quantized MPC solves/s, single chip (BASELINE.json headline #2)."""
+    from pint_tpu.mpc import FixedPointPGD, condense_double_integrator, quantize
+
+    qp = condense_double_integrator(T=horizon)
+    qqp = quantize(qp)
+    solver = FixedPointPGD(qqp, iters=iters)
+    rng = np.random.default_rng(0)
+    x0 = np.stack(
+        [rng.uniform(-3, 3, batch), rng.uniform(-1, 1, batch)], axis=-1
+    )
+    g = jnp.asarray(qqp.g_lane_fixed(x0))
+    u0 = solver.init_words(batch)
+    f = jax.jit(solver.solve_words)
+    sec = _time_op(f, u0, g)
+    return batch / sec
+
+
+def main() -> None:
+    results = {}
+
+    raw_wps = bench_raw_add(N_WORDS)
+    results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
+
+    # headline: the reference's flagship saturating config <8,8,8,8>
+    # (pint_bench.cpp:456-467, compared there against SSE2 _mm_adds_epu8)
+    lay8888 = PackedLayout(8, 8, 8, 8)
+    wps, lps = bench_packed_op(lay8888, "add_unsigned_saturate", N_WORDS)
+    results["addsat_u8x4_Gwords_per_s"] = wps / 1e9
+    results["addsat_u8x4_Glanes_per_s"] = lps / 1e9
+    sol_lanes = raw_wps * lay8888.num_lanes
+    vs_sol = lps / sol_lanes
+    results["addsat_u8x4_vs_speed_of_light"] = vs_sol
+
+    # reference's heterogeneous 7-lane config (pint_bench.cpp:85-95)
+    lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
+    for op in ("add_wrap", "add_unsigned_saturate", "add_signed_saturate"):
+        wps, lps = bench_packed_op(lay_het, op, N_WORDS)
+        results[f"{op}_het7_Glanes_per_s"] = lps / 1e9
+    wps, lps = bench_packed_op(lay8888, "add_signed_saturate", N_WORDS)
+    results["addsat_s8x4_Glanes_per_s"] = lps / 1e9
+
+    up, pk = bench_pack_unpack(lay8888, N_WORDS // 4)
+    results["unpack_u8x4_Gwords_per_s"] = up / 1e9
+    results["pack_u8x4_Gwords_per_s"] = pk / 1e9
+
+    try:
+        results["mpc_solves_per_s_b8192_h50_i40"] = bench_mpc()
+    except Exception as e:  # keep the headline metric robust
+        results["mpc_error"] = repr(e)
+
+    results["device"] = str(jax.devices()[0])
+    with open("BENCH_full.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(
+        json.dumps(
+            {
+                "metric": "addsat_u8x4_lane_throughput",
+                "value": round(results["addsat_u8x4_Glanes_per_s"], 3),
+                "unit": "Glanes/s",
+                "vs_baseline": round(vs_sol, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
