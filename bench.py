@@ -14,6 +14,11 @@ pattern; speed-of-light lane rate is ``lanes_per_word x raw_words_per_s``.
 ``vs_baseline`` of the headline metric is measured lane rate / SOL lane rate
 (target >= 0.9 per BASELINE.json).
 
+Timing methodology: the backend is asynchronous and host round-trips cost
+~30ms (see pint_tpu/utils/timing.py), so every sample chains many
+executions through a data dependency inside one `fori_loop` program and
+syncs once via a scalar host fetch.
+
 Outputs ONE JSON line on stdout (driver contract); the full metric table is
 written to BENCH_full.json.
 """
@@ -31,22 +36,10 @@ import jax.numpy as jnp
 
 from pint_tpu import PackedLayout
 from pint_tpu.ops import word as W
+from pint_tpu.utils.timing import fetch_overhead, time_chained
 
-N_WORDS = 1 << 25  # 32Mi words, 128 MiB per operand
-REPS = 10
-
-
-def _time_op(fn, *args) -> float:
-    """Median seconds/rep of a jitted fn (after warmup)."""
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+N_WORDS = 1 << 24  # 16Mi words, 64 MiB per operand
+INNER = 256        # chained executions per timed sample (amortizes ~30ms sync)
 
 
 def _rand_words(layout: PackedLayout, n: int, seed: int):
@@ -55,39 +48,42 @@ def _rand_words(layout: PackedLayout, n: int, seed: int):
     return jnp.asarray((w & np.uint64(layout.used_mask)).astype(layout.word_dtype))
 
 
-def bench_raw_add(n: int) -> float:
+def bench_raw_add(n: int, overhead: float) -> float:
     """Calibration: raw uint32 elementwise add, words/s."""
     a = jnp.arange(n, dtype=jnp.uint32)
-    b = a + 1
-    f = jax.jit(lambda x, y: x + y)
-    sec = _time_op(f, a, b)
+    b = a | jnp.uint32(1)
+    sec = time_chained(
+        lambda x, y: x + y, a, b, inner=INNER, overhead=overhead
+    )
     return n / sec
 
 
-def bench_packed_op(layout: PackedLayout, opname: str, n: int):
+def bench_packed_op(layout, opname, n, overhead):
     """(words/s, lane ops/s) of a jitted packed op."""
     a = _rand_words(layout, n, 0)
     b = _rand_words(layout, n, 1)
     formula = getattr(W, opname)
-    f = jax.jit(lambda x, y: formula(layout, x, y))
-    sec = _time_op(f, a, b)
+    sec = time_chained(
+        lambda x, y: formula(layout, x, y), a, b, inner=INNER,
+        overhead=overhead,
+    )
     wps = n / sec
     return wps, wps * layout.num_lanes
 
 
-def bench_pack_unpack(layout: PackedLayout, n: int):
-    """words/s for pack and unpack roundtrip ops."""
+def bench_pack_unpack(layout, n, overhead):
+    """words/s for an unpack->pack roundtrip."""
     v = _rand_words(layout, n, 2)
-    unpack = jax.jit(lambda x: W.unpack(layout, x))
-    lanes = unpack(v)
-    jax.block_until_ready(lanes)
-    pack = jax.jit(lambda l: W.pack(layout, l))
-    sec_unpack = _time_op(unpack, v)
-    sec_pack = _time_op(pack, lanes)
-    return n / sec_unpack, n / sec_pack
+    sec = time_chained(
+        lambda x: W.pack(layout, W.unpack(layout, x)),
+        v,
+        inner=INNER,
+        overhead=overhead,
+    )
+    return n / sec
 
 
-def bench_mpc(batch: int = 8192, horizon: int = 50, iters: int = 40):
+def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     """Quantized MPC solves/s, single chip (BASELINE.json headline #2)."""
     from pint_tpu.mpc import FixedPointPGD, condense_double_integrator, quantize
 
@@ -100,21 +96,26 @@ def bench_mpc(batch: int = 8192, horizon: int = 50, iters: int = 40):
     )
     g = jnp.asarray(qqp.g_lane_fixed(x0))
     u0 = solver.init_words(batch)
-    f = jax.jit(solver.solve_words)
-    sec = _time_op(f, u0, g)
+    sec = time_chained(
+        solver.solve_words, u0, g, inner=64, reps=3, overhead=overhead
+    )
     return batch / sec
 
 
 def main() -> None:
     results = {}
+    overhead = fetch_overhead()
+    results["sync_overhead_ms"] = overhead * 1e3
 
-    raw_wps = bench_raw_add(N_WORDS)
+    raw_wps = bench_raw_add(N_WORDS, overhead)
     results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
 
     # headline: the reference's flagship saturating config <8,8,8,8>
     # (pint_bench.cpp:456-467, compared there against SSE2 _mm_adds_epu8)
     lay8888 = PackedLayout(8, 8, 8, 8)
-    wps, lps = bench_packed_op(lay8888, "add_unsigned_saturate", N_WORDS)
+    wps, lps = bench_packed_op(
+        lay8888, "add_unsigned_saturate", N_WORDS, overhead
+    )
     results["addsat_u8x4_Gwords_per_s"] = wps / 1e9
     results["addsat_u8x4_Glanes_per_s"] = lps / 1e9
     sol_lanes = raw_wps * lay8888.num_lanes
@@ -124,17 +125,17 @@ def main() -> None:
     # reference's heterogeneous 7-lane config (pint_bench.cpp:85-95)
     lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
     for op in ("add_wrap", "add_unsigned_saturate", "add_signed_saturate"):
-        wps, lps = bench_packed_op(lay_het, op, N_WORDS)
-        results[f"{op}_het7_Glanes_per_s"] = lps / 1e9
-    wps, lps = bench_packed_op(lay8888, "add_signed_saturate", N_WORDS)
-    results["addsat_s8x4_Glanes_per_s"] = lps / 1e9
+        _, lps_h = bench_packed_op(lay_het, op, N_WORDS, overhead)
+        results[f"{op}_het7_Glanes_per_s"] = lps_h / 1e9
+    _, lps_s = bench_packed_op(lay8888, "add_signed_saturate", N_WORDS, overhead)
+    results["addsat_s8x4_Glanes_per_s"] = lps_s / 1e9
 
-    up, pk = bench_pack_unpack(lay8888, N_WORDS // 4)
-    results["unpack_u8x4_Gwords_per_s"] = up / 1e9
-    results["pack_u8x4_Gwords_per_s"] = pk / 1e9
+    results["pack_unpack_roundtrip_u8x4_Gwords_per_s"] = (
+        bench_pack_unpack(lay8888, N_WORDS // 2, overhead) / 1e9
+    )
 
     try:
-        results["mpc_solves_per_s_b8192_h50_i40"] = bench_mpc()
+        results["mpc_solves_per_s_b8192_h50_i40"] = bench_mpc(overhead)
     except Exception as e:  # keep the headline metric robust
         results["mpc_error"] = repr(e)
 

@@ -51,20 +51,26 @@ class FixedPointPGD:
     qqp: QuantizedQP
     iters: int = 40
 
-    # -- device constants ---------------------------------------------------
+    # -- constants (cached as HOST numpy: a cached_property evaluated inside
+    # a jit trace must never cache a tracer) --------------------------------
 
-    @functools.cached_property
+    @property
     def Hq_dev(self) -> Array:
         return jnp.asarray(self.qqp.Hq)  # (Tp, Tp) int8
 
     @functools.cached_property
+    def _lower_word(self) -> np.ndarray:
+        """The packed word of four lane lower bounds (-127): the symmetric
+        box's floor, re-applied after the saturating update (saturation
+        floor is -128)."""
+        w = 0
+        for off in CONTROL_LAYOUT.offsets:
+            w |= (-127 & 0xFF) << off
+        return np.uint32(w)
+
+    @property
     def lower_words(self) -> Array:
-        """Packed words of the lane lower bound (-127): the symmetric box's
-        floor, re-applied after the saturating update (saturation floor is
-        -128)."""
-        return W.pack(
-            CONTROL_LAYOUT, jnp.full((1, 4), -127, jnp.int32)
-        )  # (1,) uint32
+        return jnp.full((1,), self._lower_word, jnp.uint32)
 
     # -- one PGD iteration on packed words ---------------------------------
 

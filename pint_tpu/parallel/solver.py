@@ -70,13 +70,16 @@ class ShardedPGD:
         """Horizon lanes per tp rank."""
         return self.qqp.padded // self.tp
 
-    @functools.cached_property
+    @property
     def Hq_dev(self) -> Array:
         return jnp.asarray(self.qqp.Hq)  # (Tp, Tp) int8
 
-    @functools.cached_property
+    @property
     def lower_words(self) -> Array:
-        return W.pack(CONTROL_LAYOUT, jnp.full((1, 4), -127, jnp.int32))
+        w = 0
+        for off in CONTROL_LAYOUT.offsets:
+            w |= (-127 & 0xFF) << off
+        return jnp.full((1,), np.uint32(w), jnp.uint32)
 
     # -- the shard-local iteration ------------------------------------------
 

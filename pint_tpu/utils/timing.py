@@ -1,0 +1,86 @@
+"""Device timing utilities that survive asynchronous PJRT backends.
+
+On some backends (notably tunneled/remote PJRT plugins),
+``jax.block_until_ready`` returns as soon as the dispatch is acknowledged,
+NOT when execution completes -- only a device-to-host transfer truly
+synchronizes.  Timing there must (a) chain reps through data dependencies so
+the device cannot overlap or elide them, and (b) end the timed region with a
+small host fetch of a value data-dependent on the last rep.
+
+:func:`time_chained` implements that pattern: the op under test is wrapped
+so rep ``k+1`` consumes rep ``k``'s output, and a scalar derived from the
+final output is fetched to host inside the timed window.  The scalar is an
+output of the same XLA program chain, so its availability implies the whole
+chain executed.  Fetch overhead is measured once with an empty chain and
+subtracted.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["time_chained", "fetch_overhead"]
+
+
+def _sync_scalar(x) -> float:
+    """Host-fetch a cheap scalar data-dependent on ``x``."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    flat = leaf.reshape(-1)[:1]
+    return float(np.asarray(flat)[0])
+
+
+def fetch_overhead(reps: int = 5) -> float:
+    """Seconds for a minimal dispatch + scalar host fetch."""
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((1,), jnp.int32)
+    _sync_scalar(f(x))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync_scalar(f(x))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def time_chained(
+    step: Callable,
+    x0,
+    *consts,
+    reps: int = 5,
+    inner: int = 100,
+    overhead: Optional[float] = None,
+) -> float:
+    """Median seconds per execution of ``step(x, *consts) -> x_next``.
+
+    ``step`` must map its first argument's pytree structure to itself so
+    iterations chain through a data dependency (the device cannot elide or
+    overlap them).  ``inner`` iterations run inside ONE jitted
+    `lax.fori_loop` program, so each timed sample pays the host round-trip
+    once for ``inner`` executions; the measured round-trip overhead is
+    subtracted on top.
+    """
+
+    @jax.jit
+    def chain(x, *cs):
+        return jax.lax.fori_loop(0, inner, lambda i, y: step(y, *cs), x)
+
+    # warm (compile) + one synchronized execution
+    x = chain(x0, *consts)
+    _sync_scalar(x)
+
+    if overhead is None:
+        overhead = fetch_overhead()
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = chain(x0, *consts)
+        _sync_scalar(x)
+        times.append(time.perf_counter() - t0 - overhead)
+    sec = float(np.median(times)) / inner
+    return max(sec, 1e-12)
