@@ -39,7 +39,8 @@ from pint_tpu.ops import word as W
 from pint_tpu.utils.timing import fetch_overhead, time_chained
 
 N_WORDS = 1 << 24  # 16Mi words, 64 MiB per operand
-INNER = 256        # chained executions per timed sample (amortizes ~30ms sync)
+INNER = 1024       # chained executions per sample: total >=300ms so the
+                   # ~30ms sync round-trip (with +-10ms jitter) stays <10%
 
 
 def _rand_words(layout: PackedLayout, n: int, seed: int):
@@ -97,7 +98,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     g = jnp.asarray(qqp.g_lane_fixed(x0))
     u0 = solver.init_words(batch)
     sec = time_chained(
-        solver.solve_words, u0, g, inner=64, reps=3, overhead=overhead
+        solver.solve_words, u0, g, inner=256, reps=3, overhead=overhead
     )
     return batch / sec
 
