@@ -4,6 +4,9 @@ from pint_tpu.mpc.condensed import (
     condense_double_integrator,
     quantize,
 )
+from pint_tpu.mpc.controller import RecedingHorizonController
+from pint_tpu.mpc.fused import FusedPGD
+from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
 from pint_tpu.mpc.solver import FixedPointPGD
 
 __all__ = [
@@ -12,4 +15,8 @@ __all__ = [
     "condense_double_integrator",
     "quantize",
     "FixedPointPGD",
+    "FusedPGD",
+    "RecedingHorizonController",
+    "QuantizedMPPI",
+    "unicycle_goal_cost",
 ]
