@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from pint_tpu.mpc import FixedPointPGD, condense_double_integrator, quantize
-from pint_tpu.mpc.fused import FusedPGD, _pack_lanes_u32, _unpack_lanes_u32
+from pint_tpu.mpc.fused import FusedPGD
 
 
 @pytest.fixture(scope="module")
@@ -14,17 +14,14 @@ def qqp():
     return quantize(condense_double_integrator(T=50))
 
 
-def test_lane_pack_unpack_helpers():
+def test_word_lane_roundtrip():
+    from pint_tpu.models.dynamics import pack_controls, unpack_controls
+
     rng = np.random.default_rng(0)
     lanes = rng.integers(-128, 128, size=(32, 64), dtype=np.int32)
-    words = _pack_lanes_u32(jnp.asarray(lanes))
-    back = _unpack_lanes_u32(words)
+    words = pack_controls(jnp.asarray(lanes))
+    back = unpack_controls(words)
     np.testing.assert_array_equal(np.asarray(back), lanes)
-    # agreement with the word-level pack
-    from pint_tpu.models.dynamics import pack_controls
-
-    expected_words = pack_controls(jnp.asarray(lanes))
-    np.testing.assert_array_equal(np.asarray(words), np.asarray(expected_words))
 
 
 @pytest.mark.parametrize("batch", [16, 100, 512])
