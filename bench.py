@@ -85,8 +85,18 @@ def bench_pack_unpack(layout, n, overhead):
 
 
 def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
-    """Quantized MPC solves/s, single chip (BASELINE.json headline #2)."""
-    from pint_tpu.mpc import FixedPointPGD, condense_double_integrator, quantize
+    """Quantized MPC solves/s, single chip (BASELINE.json headline #2).
+
+    Returns (word-space solves/s, fused-Pallas solves/s); the fused kernel
+    keeps the 40-iteration loop VMEM-resident and is verified bit-identical
+    before timing.
+    """
+    from pint_tpu.mpc import (
+        FixedPointPGD,
+        FusedPGD,
+        condense_double_integrator,
+        quantize,
+    )
 
     qp = condense_double_integrator(T=horizon)
     qqp = quantize(qp)
@@ -97,16 +107,57 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     )
     g = jnp.asarray(qqp.g_lane_fixed(x0))
     u0 = solver.init_words(batch)
-    sec = time_chained(
+    sec_word = time_chained(
         solver.solve_words, u0, g, inner=256, reps=3, overhead=overhead
     )
-    return batch / sec
+
+    fused = FusedPGD(qqp, iters=iters, block_rows=512, interpret=False)
+    w1 = jax.jit(solver.solve_words)(u0, g)
+    w2 = fused.solve_words(u0, g)
+    assert bool(jnp.all(w1 == w2)), "fused solver diverged from reference"
+    sec_fused = time_chained(
+        fused.solve_words, u0, g, inner=256, reps=3, overhead=overhead
+    )
+    return batch / sec_word, batch / sec_fused
+
+
+def bench_width_sweep(overhead) -> dict:
+    """Saturating-add lane throughput over a lane-width sweep
+    (BASELINE.json config: "pack/unpack + saturating-add throughput sweep
+    over lane widths")."""
+    out = {}
+    sweep = [
+        PackedLayout(*([w] * (32 // w))) for w in (1, 2, 4, 8, 16)
+    ] + [
+        PackedLayout(1, 2, 3, 4, 5, 6, 11),
+        PackedLayout(1, 3, 5, 11),          # pint_bench AddSatU1 config
+        PackedLayout(11, 11, 10),
+    ]
+    for lay in sweep:
+        wps, lps = bench_packed_op(
+            lay, "add_unsigned_saturate", N_WORDS, overhead
+        )
+        out[f"addsat_u_{'x'.join(map(str, lay.widths))}"] = {
+            "Gwords_per_s": wps / 1e9,
+            "Glanes_per_s": lps / 1e9,
+        }
+    return out
 
 
 def main() -> None:
+    import sys
+
     results = {}
     overhead = fetch_overhead()
     results["sync_overhead_ms"] = overhead * 1e3
+
+    if "--sweep" in sys.argv:
+        results["width_sweep"] = bench_width_sweep(overhead)
+        with open("BENCH_sweep.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps({"metric": "width_sweep", "value": 1, "unit": "done",
+                          "vs_baseline": 1}))
+        return
 
     raw_wps = bench_raw_add(N_WORDS, overhead)
     results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
@@ -136,7 +187,9 @@ def main() -> None:
     )
 
     try:
-        results["mpc_solves_per_s_b8192_h50_i40"] = bench_mpc(overhead)
+        word_rate, fused_rate = bench_mpc(overhead)
+        results["mpc_solves_per_s_b8192_h50_i40"] = word_rate
+        results["mpc_fused_solves_per_s_b8192_h50_i40"] = fused_rate
     except Exception as e:  # keep the headline metric robust
         results["mpc_error"] = repr(e)
 
