@@ -145,18 +145,28 @@ def unpack_signed(layout: PackedLayout, word: Array) -> Array:
     )
 
 
-def slice_word(layout: PackedLayout, word: Array, start: int, end: int):
+def slice_word(
+    layout: PackedLayout,
+    word: Array,
+    start: int,
+    end: int,
+    *,
+    keep_word_dtype: bool = False,
+):
     """Extract lanes [start, end) as a new packed word (pint.hpp:923-932).
 
-    Returns ``(sub_layout, sub_word)``; the sub-word is re-based to bit 0 and
-    cast to the sub-layout's natural word dtype.
+    Returns ``(sub_layout, sub_word)``; the sub-word is re-based to bit 0.
+    By default it is cast to the sub-layout's natural word dtype (the
+    TPU-friendly choice: narrower streams); ``keep_word_dtype=True``
+    reproduces the reference exactly, whose ``sliced_int`` keeps the
+    parent's Integer type (pint.hpp:746-754).
     """
     sub = layout.slice(start, end)
     lo_bits = sum(layout.widths[:start])
     mid_bits = sum(layout.widths[start:end])
     v = word >> np.array(lo_bits, layout.word_dtype) if lo_bits else word
     v = v & _k(layout, (1 << mid_bits) - 1)
-    return sub, v.astype(sub.word_dtype)
+    return sub, (v if keep_word_dtype else v.astype(sub.word_dtype))
 
 
 # ---------------------------------------------------------------------------

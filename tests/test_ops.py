@@ -342,6 +342,15 @@ def test_shift_right(widths, value, amount, expected):
 # -- README worked examples as extra ground truth (README.md:149-217) -------
 
 
+def test_readme_usage_example():
+    # README.md:11-34: MyPack(2,10,20) + MyPack(1,2,12)
+    lay = PackedLayout(5, 6, 5)
+    a = P(lay, 2, 10, 20)
+    b = P(lay, 1, 2, 12)
+    assert_packed_eq(P(lay, 3, 12, 0), pt.add_wrap(a, b))
+    assert_packed_eq(P(lay, 3, 12, 31), pt.add_unsigned_saturate(a, b))
+
+
 def test_readme_add_wrap_example():
     lay = PackedLayout(5, 6, 5)
     a = P(lay, 1, 20, 10)
