@@ -144,6 +144,35 @@ def bench_width_sweep(overhead) -> dict:
     return out
 
 
+def bench_rollouts(overhead, batch=8192, horizon=52):
+    """Quantized double-integrator rollouts/s from packed int8 controls
+    (BASELINE.json config: 8192 rollouts, H=50; padded to 52 for 4-lane
+    words)."""
+    from pint_tpu.models import DoubleIntegrator, pack_controls
+
+    model = DoubleIntegrator()
+    rng = np.random.default_rng(0)
+    lanes = jnp.asarray(
+        rng.integers(-128, 128, (batch, horizon), dtype=np.int32)
+    )
+    words = pack_controls(lanes)
+
+    def step(state0, w):
+        states = model.rollout_packed(state0, w)
+        # depend on the whole trajectory so it cannot be elided
+        return states[..., -1, :] + (jnp.sum(states, axis=-2) & 1)
+
+    sec = time_chained(
+        step,
+        jnp.zeros((batch, 2), jnp.int32),
+        words,
+        inner=256,
+        reps=3,
+        overhead=overhead,
+    )
+    return batch / sec
+
+
 def main() -> None:
     import sys
 
@@ -185,6 +214,11 @@ def main() -> None:
     results["pack_unpack_roundtrip_u8x4_Gwords_per_s"] = (
         bench_pack_unpack(lay8888, N_WORDS // 2, overhead) / 1e9
     )
+
+    try:
+        results["rollouts_per_s_b8192_h52"] = bench_rollouts(overhead)
+    except Exception as e:
+        results["rollout_error"] = repr(e)
 
     try:
         word_rate, fused_rate = bench_mpc(overhead)
