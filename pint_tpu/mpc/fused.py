@@ -54,11 +54,20 @@ __all__ = ["FusedPGD"]
 
 @dataclasses.dataclass(frozen=True)
 class FusedPGD:
-    """VMEM-resident PGD solver, bit-identical to FixedPointPGD."""
+    """VMEM-resident PGD solver, bit-identical to FixedPointPGD.
+
+    ``mxu_pack`` folds k independent problems into one MXU pass: the lane
+    tile reshapes (R, Tp) -> (R/k, k*Tp) and the Hessian becomes a k-block
+    diagonal (k*Tp, k*Tp).  With Tp=64 and k=2 the contraction dimension
+    fills the 128-wide MXU exactly, halving row feeds; the zero blocks cost
+    nothing extra because the systolic array's width is fixed.  Elementwise
+    steps are order-independent, so results stay bit-identical.
+    """
 
     qqp: QuantizedQP
     iters: int = 40
     block_rows: int = 512
+    mxu_pack: int = 1
     interpret: bool = dataclasses.field(default=False)
 
     def _kernel(self, u_ref, g_ref, h_ref, out_ref):
@@ -89,6 +98,10 @@ class FusedPGD:
     def _call(self):
         qqp = self.qqp
         br = self.block_rows
+        k = self.mxu_pack
+        cols = k * qqp.padded
+        if br % k:
+            raise ValueError("block_rows must divide by mxu_pack")
 
         def run(u_words: Array, g_pre: Array) -> Array:
             batch = u_words.shape[0]
@@ -102,25 +115,33 @@ class FusedPGD:
                 g_pre = jnp.concatenate(
                     [g_pre, jnp.zeros((pad, qqp.padded), g_pre.dtype)]
                 )
+            # fold k problems per row (XLA-side view reshape)
+            lanes = lanes.reshape(rows // k, cols)
+            g2 = g_pre.reshape(rows // k, cols)
+            hq = np.zeros((cols, cols), np.int8)
+            for i in range(k):
+                s = i * qqp.padded
+                hq[s : s + qqp.padded, s : s + qqp.padded] = qqp.Hq
             spec = pl.BlockSpec(
-                (br, qqp.padded), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (br // k, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
             out_lanes = pl.pallas_call(
                 self._kernel,
-                out_shape=jax.ShapeDtypeStruct((rows, qqp.padded), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((rows // k, cols), jnp.int32),
                 grid=(rows // br,),
                 in_specs=[
                     spec,
                     spec,
                     pl.BlockSpec(
-                        (qqp.padded, qqp.padded), lambda i: (0, 0),
+                        (cols, cols), lambda i: (0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
                 out_specs=spec,
                 interpret=self.interpret,
-            )(lanes, g_pre, jnp.asarray(qqp.Hq))
-            return pack_controls(out_lanes[:batch])
+            )(lanes, g2, jnp.asarray(hq))
+            out = out_lanes.reshape(rows, qqp.padded)[:batch]
+            return pack_controls(out)
 
         return jax.jit(run)
 
