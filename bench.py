@@ -144,6 +144,36 @@ def bench_width_sweep(overhead) -> dict:
     return out
 
 
+def bench_unpacked_comparator(overhead, n_items: int):
+    """The reference-bench-style comparator: per-field processing without
+    SWAR (the TPU analog of the 'bitfield union + clamp' baselines,
+    pint_bench.cpp:117-151, 274-369).
+
+    The 7 heterogeneous fields <1,2,3,4,5,6,11> are held as an (N, 8) int8
+    tensor (one byte per field, padded to 8 -- the narrowest native dtype
+    that fits each field); saturating add is the naive widen-add-clip-
+    narrow.  Returns lane-ops/s.  SWAR packs the same 7 fields in 4 bytes,
+    so at equal HBM bandwidth the packed path moves 2x fewer bytes.
+    """
+    widths = (1, 2, 3, 4, 5, 6, 11, 8)  # 8th char column pads to a lane tile
+    maxv = np.array([(1 << w) - 1 for w in widths[:7]] + [127], np.int16)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(
+        rng.integers(0, 128, size=(n_items, 8), dtype=np.int8)
+    )
+    b = jnp.asarray(
+        rng.integers(0, 128, size=(n_items, 8), dtype=np.int8)
+    )
+    cap = jnp.asarray(maxv)
+
+    def step(x, y):
+        wide = x.astype(jnp.int16) + y.astype(jnp.int16)
+        return jnp.minimum(wide, cap).astype(jnp.int8)
+
+    sec = time_chained(step, a, b, inner=INNER, overhead=overhead)
+    return n_items * 7 / sec
+
+
 def bench_rollouts(overhead, batch=8192, horizon=52):
     """Quantized double-integrator rollouts/s from packed int8 controls
     (BASELINE.json config: 8192 rollouts, H=50; padded to 52 for 4-lane
@@ -214,6 +244,19 @@ def main() -> None:
     results["pack_unpack_roundtrip_u8x4_Gwords_per_s"] = (
         bench_pack_unpack(lay8888, N_WORDS // 2, overhead) / 1e9
     )
+
+    # per-field no-SWAR comparator for the hetero config (the reference's
+    # bitfield-union baseline, pint_bench.cpp:274-369): same logical lanes,
+    # one int8 byte per field
+    try:
+        unpacked_lps = bench_unpacked_comparator(overhead, N_WORDS)
+        results["addsat_u_het7_unpacked_int8_Glanes_per_s"] = unpacked_lps / 1e9
+        results["addsat_u_het7_swar_speedup_vs_unpacked"] = (
+            results["add_unsigned_saturate_het7_Glanes_per_s"]
+            / (unpacked_lps / 1e9)
+        )
+    except Exception as e:
+        results["unpacked_comparator_error"] = repr(e)
 
     try:
         results["rollouts_per_s_b8192_h52"] = bench_rollouts(overhead)
