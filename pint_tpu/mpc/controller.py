@@ -50,6 +50,7 @@ class RecedingHorizonController:
     qqp: QuantizedQP
     model: DoubleIntegrator = DoubleIntegrator()
     iters_per_tick: int = 15
+    use_fused: bool = False  # solve ticks with the VMEM-resident kernel
 
     def __post_init__(self):
         if abs(self.qqp.u_scale - self.model.u_scale) > 1e-12:
@@ -78,7 +79,11 @@ class RecedingHorizonController:
         return cls(quantize(qp), model, iters_per_tick)
 
     @functools.cached_property
-    def _solver(self) -> FixedPointPGD:
+    def _solver(self):
+        if self.use_fused:
+            from pint_tpu.mpc.fused import FusedPGD
+
+            return FusedPGD(self.qqp, iters=self.iters_per_tick)
         return FixedPointPGD(self.qqp, iters=self.iters_per_tick)
 
     @functools.cached_property

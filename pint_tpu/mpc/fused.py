@@ -68,7 +68,8 @@ class FusedPGD:
     iters: int = 40
     block_rows: int = 512
     mxu_pack: int = 1
-    interpret: bool = dataclasses.field(default=False)
+    # None = auto: interpreter off-TPU so the same code runs everywhere
+    interpret: object = None
 
     def _kernel(self, u_ref, g_ref, h_ref, out_ref):
         qqp = self.qqp
@@ -102,6 +103,11 @@ class FusedPGD:
         cols = k * qqp.padded
         if br % k:
             raise ValueError("block_rows must divide by mxu_pack")
+        interpret = (
+            self.interpret
+            if self.interpret is not None
+            else jax.default_backend() not in ("tpu", "axon")
+        )
 
         def run(u_words: Array, g_pre: Array) -> Array:
             batch = u_words.shape[0]
@@ -138,7 +144,7 @@ class FusedPGD:
                     ),
                 ],
                 out_specs=spec,
-                interpret=self.interpret,
+                interpret=interpret,
             )(lanes, g2, jnp.asarray(hq))
             out = out_lanes.reshape(rows, qqp.padded)[:batch]
             return pack_controls(out)
