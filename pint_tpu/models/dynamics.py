@@ -24,8 +24,6 @@ Design rules (all chosen for the TPU compilation model):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

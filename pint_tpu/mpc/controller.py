@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pint_tpu.models.dynamics import (
-    CONTROL_LAYOUT,
     DoubleIntegrator,
     pack_controls,
     unpack_controls,

@@ -40,11 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pint_tpu.models.dynamics import (
-    CONTROL_LAYOUT,
-    pack_controls,
-    unpack_controls,
-)
+from pint_tpu.models.dynamics import pack_controls, unpack_controls
 from pint_tpu.mpc.condensed import QuantizedQP
 
 Array = jax.Array

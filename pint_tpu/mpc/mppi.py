@@ -25,7 +25,6 @@ rollout engine.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Tuple
 
 import jax

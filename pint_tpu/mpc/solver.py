@@ -24,19 +24,18 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pint_tpu.layout import PackedLayout
 from pint_tpu.models.dynamics import (
     CONTROL_LAYOUT,
     pack_controls,
     unpack_controls,
 )
-from pint_tpu.mpc.condensed import CondensedQP, QuantizedQP
+from pint_tpu.mpc.condensed import QuantizedQP
 from pint_tpu.ops import word as W
 
 Array = jax.Array

@@ -20,8 +20,6 @@ mechanically::
 from __future__ import annotations
 
 import dataclasses
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

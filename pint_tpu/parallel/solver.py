@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pint_tpu.models.dynamics import CONTROL_LAYOUT, pack_controls, unpack_controls
 from pint_tpu.mpc.condensed import QuantizedQP
-from pint_tpu.mpc.solver import FixedPointPGD
 from pint_tpu.ops import word as W
 
 shard_map = jax.shard_map

@@ -16,7 +16,6 @@ the iterate never leaves the box by construction).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional
 

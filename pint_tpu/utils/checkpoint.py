@@ -15,10 +15,8 @@ index suffix).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 
 from pint_tpu.layout import PackedLayout
