@@ -1,0 +1,104 @@
+"""True multi-process jax.distributed integration (2 CPU processes).
+
+Validates the real multi-host wiring that the virtual-mesh tests cannot:
+process coordination, global device enumeration, cross-process collectives,
+and the sharded solver running on a mesh that spans processes.
+"""
+
+import pathlib
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(
+        coordinator_address="localhost:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from pint_tpu.mpc import condense_double_integrator, quantize
+    from pint_tpu.parallel import ShardedPGD, make_mesh
+    from pint_tpu.parallel.distributed import aggregate_rate
+
+    qqp = quantize(condense_double_integrator(T=50))
+    mesh = make_mesh(dp=2, tp=2)   # spans both processes
+    solver = ShardedPGD(qqp, mesh, iters=8)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = 8
+    rng = np.random.default_rng(0)
+    x0 = np.stack([rng.uniform(-2, 2, batch), rng.uniform(-1, 1, batch)], -1)
+    g_host = qqp.g_lane_fixed(x0)
+    sharding = NamedSharding(mesh, P("dp", "tp"))
+    g = jax.make_array_from_callback(
+        g_host.shape, sharding, lambda idx: g_host[idx]
+    )
+    u0 = jax.make_array_from_callback(
+        (batch, qqp.padded // 4),
+        sharding,
+        lambda idx: np.zeros((batch, qqp.padded // 4), np.uint32)[idx],
+    )
+    words, residual = solver.solve_words(u0, g)
+    r = float(residual)
+    assert np.isfinite(r)
+    agg = aggregate_rate(100.0)
+    assert abs(agg - 200.0) < 1e-3, agg
+    print(f"proc {{pid}} OK residual={{r}}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(port=port))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env={
+                "PYTHONPATH": str(repo),
+                "PATH": "/usr/bin:/bin:/usr/local/bin",
+                "HOME": "/tmp",
+            },
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out
