@@ -121,6 +121,25 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     return batch / sec_word, batch / sec_fused
 
 
+def bench_vpu_ops(overhead, n: int = 1 << 20, ops_per_pass: int = 64) -> float:
+    """Sustained VPU int32 whole-word ops/s: a long fused chain of
+    shift/xor/add on a small (VMEM-resident-per-tile) array, so HBM traffic
+    per op is negligible.  Feeds roofline_report's vpu_ops_per_s."""
+    x0 = jnp.arange(n, dtype=jnp.uint32)
+    c1 = jnp.uint32(0x9E3779B9)
+
+    def step(x):
+        for _ in range(ops_per_pass // 4):
+            x = x ^ (x << jnp.uint32(1))
+            x = x + c1
+            x = x ^ (x >> jnp.uint32(3))
+            x = x | jnp.uint32(1)
+        return x
+
+    sec = time_chained(step, x0, inner=INNER, overhead=overhead)
+    return n * ops_per_pass / sec
+
+
 def bench_width_sweep(overhead) -> dict:
     """Saturating-add lane throughput over a lane-width sweep
     (BASELINE.json config: "pack/unpack + saturating-add throughput sweep
@@ -212,6 +231,7 @@ def main() -> None:
 
     if "--sweep" in sys.argv:
         results["width_sweep"] = bench_width_sweep(overhead)
+        results["vpu_int32_Tops_per_s"] = bench_vpu_ops(overhead) / 1e12
         with open("BENCH_sweep.json", "w") as f:
             json.dump(results, f, indent=2)
         print(json.dumps({"metric": "width_sweep", "value": 1, "unit": "done",
