@@ -111,7 +111,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
         solver.solve_words, u0, g, inner=256, reps=3, overhead=overhead
     )
 
-    fused = FusedPGD(qqp, iters=iters, block_rows=512, interpret=False)
+    fused = FusedPGD(qqp, iters=iters, block_rows=2048, interpret=False)
     w1 = jax.jit(solver.solve_words)(u0, g)
     w2 = fused.solve_words(u0, g)
     assert bool(jnp.all(w1 == w2)), "fused solver diverged from reference"

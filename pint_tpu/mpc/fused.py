@@ -52,17 +52,17 @@ __all__ = ["FusedPGD"]
 class FusedPGD:
     """VMEM-resident PGD solver, bit-identical to FixedPointPGD.
 
-    ``mxu_pack`` folds k independent problems into one MXU pass: the lane
-    tile reshapes (R, Tp) -> (R/k, k*Tp) and the Hessian becomes a k-block
-    diagonal (k*Tp, k*Tp).  With Tp=64 and k=2 the contraction dimension
-    fills the 128-wide MXU exactly, halving row feeds; the zero blocks cost
-    nothing extra because the systolic array's width is fixed.  Elementwise
-    steps are order-independent, so results stay bit-identical.
+    ``mxu_pack`` folds k independent problems into one MXU pass via a
+    k-block-diagonal Hessian.  Measured on v5e this LOSES (~26M vs ~49M
+    solves/s at the headline config): Mosaic already tiles the 64-wide
+    contraction efficiently, so the doubled MAC count of the zero blocks is
+    pure overhead.  Kept (default 1) as a documented experiment -- results
+    stay bit-identical for any k.
     """
 
     qqp: QuantizedQP
     iters: int = 40
-    block_rows: int = 512
+    block_rows: int = 2048   # best in the on-chip sweep (169 us/solve-batch)
     mxu_pack: int = 1
     # None = auto: interpreter off-TPU so the same code runs everywhere
     interpret: object = None
