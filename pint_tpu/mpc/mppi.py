@@ -133,6 +133,54 @@ class QuantizedMPPI:
         )
         return pack_controls(new_lanes), jnp.min(costs, axis=-1)
 
+    # -- closed loop ---------------------------------------------------------
+
+    def run_closed_loop(
+        self,
+        key: Array,
+        state0: Array,          # (B, 3) int32
+        cost_fn,
+        ticks: int,
+        updates_per_tick: int = 2,
+    ) -> Tuple[Array, Array]:
+        """Receding-horizon MPPI: per tick, refine the nominal plan with
+        ``updates_per_tick`` MPPI updates, apply the first (v, w) pair, step
+        the plant, and warm-start by shifting the plan one step earlier.
+        One jitted `lax.scan` end to end.
+
+        Returns (states (B, ticks+1, 3), applied controls (B, ticks, 2)).
+        """
+        batch = state0.shape[0]
+
+        def tick(carry, k):
+            state, words = carry
+            ks = jax.random.split(k, updates_per_tick)
+
+            def upd(c, kk):
+                w, _ = self.step(kk, c, state, cost_fn)
+                return w, None
+
+            words, _ = jax.lax.scan(upd, words, ks)
+            lanes = unpack_controls(words)
+            v0, w0 = lanes[..., 0], lanes[..., 1]
+            state2 = self.model.step(state, v0, w0)
+            shifted = jnp.concatenate(
+                [lanes[..., 2:], jnp.zeros_like(lanes[..., :2])], axis=-1
+            )
+            return (state2, pack_controls(shifted)), (
+                state2,
+                jnp.stack([v0, w0], axis=-1),
+            )
+
+        keys = jax.random.split(key, ticks)
+        (_, _), (states, ctrl) = jax.lax.scan(
+            tick, (state0, self.init_words(batch)), keys
+        )
+        states = jnp.moveaxis(states, 0, -2)   # (B, ticks, 3)
+        ctrl = jnp.moveaxis(ctrl, 0, -2)       # (B, ticks, 2)
+        states = jnp.concatenate([state0[..., None, :], states], axis=-2)
+        return states, ctrl
+
     def plan(
         self,
         key: Array,

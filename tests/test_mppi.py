@@ -56,6 +56,24 @@ def test_mppi_cost_decreases(setup):
     assert costs[-1] < costs[0]
 
 
+def test_mppi_closed_loop_reaches_goal(setup):
+    model, mppi = setup
+    goal = jnp.asarray([[1.2, 0.6]])
+    cost_fn = unicycle_goal_cost(model, goal[:, None, :])
+    state0 = jnp.zeros((1, 3), jnp.int32)
+    states, ctrl = jax.jit(
+        lambda k, s: mppi.run_closed_loop(
+            k, s, cost_fn, ticks=60, updates_per_tick=2
+        )
+    )(jax.random.PRNGKey(5), state0)
+    assert states.shape == (1, 61, 3)
+    assert ctrl.shape == (1, 60, 2)
+    xy = np.asarray(states)[0, :, :2] * 2.0**-model.frac_bits
+    d0 = np.linalg.norm(xy[0] - np.asarray(goal)[0])
+    dT = np.linalg.norm(xy[-1] - np.asarray(goal)[0])
+    assert dT < 0.45, f"closed-loop terminal distance {dT} (start {d0})"
+
+
 def test_mppi_controls_stay_in_box(setup):
     model, mppi = setup
     goal = jnp.asarray([[5.0, 5.0]])  # far goal saturates controls
