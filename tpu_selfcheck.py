@@ -1,0 +1,110 @@
+"""On-device self-check: every op family bit-exact on the real TPU.
+
+The unit suite runs on CPU (identical integer semantics); this script
+re-verifies on actual TPU hardware: jnp formulas vs the host oracle, the
+Pallas elementwise kernels vs the jnp formulas, the fused MPC kernel vs the
+word-space solver, and a rollout against the float64 reference.
+
+Usage: python tpu_selfcheck.py   (takes minutes: remote kernel compiles)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from pint_tpu import PackedLayout
+    from pint_tpu.ops import pallas as P
+    from pint_tpu.ops import word as W
+    from pint_tpu.utils import Oracle
+
+    failures = []
+
+    def check(name, ok):
+        print(("PASS " if ok else "FAIL ") + name, flush=True)
+        if not ok:
+            failures.append(name)
+
+    # 1. jnp formulas vs oracle, on TPU
+    for widths in [(8, 8, 8, 8), (1, 2, 3, 4, 5, 6, 11), (5, 6, 5)]:
+        lay = PackedLayout(*widths)
+        oracle = Oracle(lay)
+        rng = np.random.default_rng(0)
+        aw = rng.integers(0, 1 << lay.word_bits, 4096, dtype=np.uint64)
+        bw = rng.integers(0, 1 << lay.word_bits, 4096, dtype=np.uint64)
+        aw &= np.uint64(lay.used_mask)
+        bw &= np.uint64(lay.used_mask)
+        a = jnp.asarray(aw.astype(lay.word_dtype))
+        b = jnp.asarray(bw.astype(lay.word_dtype))
+        for op in (
+            "add_wrap", "add_unsigned_saturate", "add_signed_saturate",
+            "sub_wrap", "sub_unsigned_saturate", "sub_signed_saturate",
+            "min_unsigned", "max_signed",
+        ):
+            got = np.asarray(getattr(W, op)(lay, a, b)).astype(np.uint64)
+            exp = getattr(oracle, op)(aw, bw) & np.uint64(lay.word_ones)
+            check(f"jnp {op} {widths}", bool((got == exp).all()))
+        for op in ("shift_left", "shift_right_unsigned"):
+            got = np.asarray(
+                getattr(W, op)(lay, a, jnp.uint32(3))
+            ).astype(np.uint64)
+            exp = getattr(oracle, op)(aw, 3) & np.uint64(lay.word_ones)
+            check(f"jnp {op} {widths}", bool((got == exp).all()))
+
+    # 2. Pallas elementwise kernels vs jnp formulas (native compile)
+    lay = PackedLayout(8, 8, 8, 8)
+    rng = np.random.default_rng(1)
+    aw = jnp.asarray(rng.integers(0, 2**32, 4096, dtype=np.uint32))
+    bw = jnp.asarray(rng.integers(0, 2**32, 4096, dtype=np.uint32))
+    for op in ("add_unsigned_saturate", "add_signed_saturate", "min_signed"):
+        got = P.binop(lay, op, interpret=False)(aw, bw)
+        exp = getattr(W, op)(lay, aw, bw)
+        check(f"pallas {op}", bool(jnp.all(got == exp)))
+
+    # 3. fused MPC kernel vs word-space solver
+    from pint_tpu.mpc import (
+        FixedPointPGD, FusedPGD, condense_double_integrator, quantize,
+    )
+
+    qqp = quantize(condense_double_integrator(T=50))
+    x0 = np.stack(
+        [np.linspace(-3, 3, 256), np.linspace(-1, 1, 256)], axis=-1
+    )
+    g = jnp.asarray(qqp.g_lane_fixed(x0))
+    u0 = FixedPointPGD(qqp).init_words(256)
+    w_ref = jax.jit(FixedPointPGD(qqp, iters=40).solve_words)(u0, g)
+    w_fused = FusedPGD(qqp, iters=40, interpret=False).solve_words(u0, g)
+    check("fused == word-space solver", bool(jnp.all(w_ref == w_fused)))
+
+    # 4. quantized rollout vs float64 reference
+    from pint_tpu.models import DoubleIntegrator, pack_controls
+
+    model = DoubleIntegrator()
+    lanes = np.asarray(
+        np.random.default_rng(2).integers(-128, 128, (64, 48)), np.int32
+    )
+    states = model.rollout_packed(
+        jnp.zeros((64, 2), jnp.int32), pack_controls(jnp.asarray(lanes))
+    )
+    got = model.to_float(np.asarray(states))
+    expected = model.reference_rollout(
+        np.zeros((64, 2)), lanes.astype(np.float64) * model.u_scale
+    )
+    T = 48
+    tol = (T + 2 + T * T * model.dt) * 2.0**-model.frac_bits
+    check(
+        "rollout vs float64 reference",
+        bool(np.abs(got - expected).max() <= tol),
+    )
+
+    print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
