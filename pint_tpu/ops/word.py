@@ -62,12 +62,23 @@ __all__ = [
 ]
 
 
+def _check_x64(layout: PackedLayout) -> None:
+    if layout.word_bits == 64 and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "64-bit packed words need jax_enable_x64 "
+            "(jax.config.update('jax_enable_x64', True)); without it JAX "
+            "silently truncates uint64 to uint32"
+        )
+
+
 def _k(layout: PackedLayout, value: int) -> Array:
     """A mask constant in the layout's word dtype."""
+    _check_x64(layout)
     return jnp.asarray(value & layout.word_ones, dtype=layout.word_dtype)
 
 
 def _as_word(layout: PackedLayout, x) -> Array:
+    _check_x64(layout)
     x = jnp.asarray(x)
     if x.dtype != layout.word_dtype:
         # bit-pattern reinterpretation for the matching signed type, value
