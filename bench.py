@@ -222,9 +222,21 @@ def bench_rollouts(overhead, batch=8192, horizon=52):
     return batch / sec
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: remote compiles through the tunnel cost
+    minutes per program, and the bench programs are identical across runs."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
     import sys
 
+    _enable_compile_cache()
     results = {}
     overhead = fetch_overhead()
     results["sync_overhead_ms"] = overhead * 1e3
