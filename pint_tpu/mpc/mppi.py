@@ -78,8 +78,8 @@ class QuantizedMPPI:
     horizon: int = 50          # steps; 2 lanes (v, w) per step
     samples: int = 512         # K rollouts per problem per update
     noise_lanes: int = 24      # stddev of int8 perturbation, in lane units
-    temperature: float = 0.3   # softmax temperature, in units of cost STDDEV
-    #                            (self-normalizing: robust to cost scale)
+    temperature: float = 0.1   # softmax temperature, in units of the robust
+    #                            (median - best) cost spread; self-normalizing
 
     @property
     def lanes_per_plan(self) -> int:
@@ -123,10 +123,13 @@ class QuantizedMPPI:
         )                                                      # (B,K,T+1,3)
         costs = cost_fn(states, ctrl)                          # (B,K)
         # self-normalized exponential weighting: temperature is measured in
-        # cost standard deviations, so the update strength is scale-free
+        # units of (median - best) cost, a scale robust to heavy-tailed
+        # penalties (e.g. obstacle barriers) that would inflate a stddev
+        # and flatten the weights
         mu = jnp.min(costs, axis=-1, keepdims=True)
-        sd = jnp.std(costs, axis=-1, keepdims=True) + 1e-6
-        w = jax.nn.softmax(-(costs - mu) / (sd * self.temperature), axis=-1)
+        med = jnp.median(costs, axis=-1, keepdims=True)
+        scale = (med - mu) + 1e-6
+        w = jax.nn.softmax(-(costs - mu) / (scale * self.temperature), axis=-1)
         mean_lanes = jnp.einsum("bk,bkl->bl", w, lanes.astype(jnp.float32))
         new_lanes = jnp.clip(jnp.round(mean_lanes), -127, 127).astype(
             jnp.int32
