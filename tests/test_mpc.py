@@ -81,6 +81,22 @@ def test_fixed_point_matches_reference(qp, qqp):
     assert np.all(c_got - c_ref <= 0.02 * (c0 - c_ref + 1e-9))
 
 
+def test_error_feedback_improves_accuracy(qp, qqp):
+    rng = np.random.default_rng(5)
+    x0 = np.stack(
+        [rng.uniform(-3, 3, 24), rng.uniform(-1, 1, 24)], axis=-1
+    )
+    u_ref = qp.solve_pgd(x0, iters=60)
+    errs, costs = {}, {}
+    for ef in (False, True):
+        s = FixedPointPGD(qqp, iters=60, error_feedback=ef)
+        _, u = s.solve(x0)
+        errs[ef] = (np.abs(np.asarray(u) - u_ref) / qqp.u_scale).mean()
+        costs[ef] = (s.cost(np.asarray(u), x0) - s.cost(u_ref, x0)).max()
+    assert errs[True] < errs[False]
+    assert costs[True] <= costs[False] + 1e-9
+
+
 def test_box_constraint_active_and_respected(qp, qqp):
     solver = FixedPointPGD(qqp, iters=80)
     # large initial position error drives controls to the box boundary
