@@ -79,6 +79,14 @@ class DoubleIntegrator:
     frac_bits: int = 16    # Q16 states
     u_shift: int = 8       # u_fp = lane << 8  (accel in Q16: lane * 2^-8 units)
 
+    def __post_init__(self):
+        if not (0 <= self.u_shift <= 23):
+            raise ValueError(
+                f"u_shift={self.u_shift}: lane<<u_shift must fit int32"
+            )
+        if not (1 <= self.dt_shift <= 16):
+            raise ValueError(f"dt_shift={self.dt_shift} out of range")
+
     @property
     def dt(self) -> float:
         return 2.0 ** (-self.dt_shift)
@@ -192,6 +200,17 @@ class Unicycle:
     frac_bits: int = 16
     v_shift: int = 8       # v_fp = lane << v_shift  (Q16 speed)
     w_shift: int = 6       # w_fp = lane << w_shift  (Q16 turns/s)
+
+    def __post_init__(self):
+        # (v_fp >> 2) * cos_q14 must fit int32: |lane|<<v_shift <= 2^17
+        if not (0 <= self.v_shift <= 10):
+            raise ValueError(
+                f"v_shift={self.v_shift}: (lane<<v_shift>>2)*Q14 must fit int32"
+            )
+        if not (0 <= self.w_shift <= 23):
+            raise ValueError(f"w_shift={self.w_shift} out of range")
+        if not (1 <= self.dt_shift <= 16):
+            raise ValueError(f"dt_shift={self.dt_shift} out of range")
 
     @property
     def dt(self) -> float:
