@@ -2,6 +2,7 @@ from pint_tpu.mpc.condensed import (
     CondensedQP,
     QuantizedQP,
     condense_double_integrator,
+    condense_lti,
     quantize,
 )
 from pint_tpu.mpc.controller import RecedingHorizonController
@@ -13,6 +14,7 @@ __all__ = [
     "CondensedQP",
     "QuantizedQP",
     "condense_double_integrator",
+    "condense_lti",
     "quantize",
     "FixedPointPGD",
     "FusedPGD",

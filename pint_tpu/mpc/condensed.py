@@ -32,7 +32,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["CondensedQP", "QuantizedQP", "condense_double_integrator"]
+__all__ = ["CondensedQP", "QuantizedQP", "condense_lti", "condense_double_integrator", "quantize"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,39 +107,56 @@ class QuantizedQP:
         return np.clip(gq, -(2**31), 2**31 - 1).astype(np.int32)
 
 
-def _condense(
+def condense_lti(
     A: np.ndarray,
     B: np.ndarray,
     Q: np.ndarray,
-    R: float,
+    R,
     Qf: np.ndarray,
     T: int,
     x_ref: np.ndarray,
     u_max: float,
 ) -> CondensedQP:
-    n = A.shape[0]
-    # A_bar: stacked powers; B_bar[k, j] = A^(k-1-j) B for j < k
+    """Condense a box-constrained LTI MPC problem.
+
+    x_{k+1} = A x_k + B u_k with A (n, n), B (n, m); cost
+    sum_k (x_k - x_ref)^T Q (x_k - x_ref) + u_k^T R u_k (terminal Qf),
+    box |u| <= u_max per input.  The decision vector flattens time-major:
+    U = [u_0; u_1; ...] of length T*m -- the layout the packed int8
+    solvers consume directly.
+    """
+    A = np.atleast_2d(np.asarray(A, float))
+    B = np.asarray(B, float).reshape(A.shape[0], -1)
+    n, m = B.shape
+    R = np.eye(m) * R if np.isscalar(R) else np.asarray(R, float)
+    # A_bar: stacked powers; B_bar[k] maps U -> x_{k+1}
     Abar = np.zeros((T, n, n))
-    Bbar = np.zeros((T, n, T))
+    Bbar = np.zeros((T, n, T * m))
     Ak = np.eye(n)
     for k in range(T):
         Ak = Ak @ A          # A^(k+1)
         Abar[k] = Ak
         for j in range(k + 1):
-            Bbar[k, :, j] = (np.linalg.matrix_power(A, k - j) @ B).ravel()
+            Bbar[k, :, j * m : (j + 1) * m] = (
+                np.linalg.matrix_power(A, k - j) @ B
+            )
     # block-diagonal weights over stacked states
     Qs = [Q] * (T - 1) + [Qf]
-    H = np.zeros((T, T))
-    Gg = np.zeros((T, n))
-    g_ref = np.zeros(T)
+    H = np.zeros((T * m, T * m))
+    Gg = np.zeros((T * m, n))
+    g_ref = np.zeros(T * m)
     for k in range(T):
         Qk = Qs[k]
         H += Bbar[k].T @ Qk @ Bbar[k]
         Gg += Bbar[k].T @ Qk @ Abar[k]
         g_ref += -Bbar[k].T @ Qk @ x_ref
-    H += R * np.eye(T)
+    H += np.kron(np.eye(T), R)
     lip = float(np.linalg.eigvalsh(H).max())
     return CondensedQP(H=H, G=Gg, g_ref=g_ref, u_max=u_max, lipschitz=lip)
+
+
+# backward-compatible private alias
+_condense = condense_lti
 
 
 def condense_double_integrator(

@@ -116,3 +116,32 @@ def test_solver_jits_once_and_batches(qqp):
     assert out.shape == (32, qqp.padded // 4)
     # zero linear term -> zero controls stay zero
     assert not np.asarray(out).any()
+
+
+def test_condense_lti_multi_input():
+    """2-D double integrator with 2 accel inputs (n=4, m=2)."""
+    from pint_tpu.mpc import condense_lti
+
+    dt = 1 / 32
+    A = np.block(
+        [[np.eye(2), dt * np.eye(2)], [np.zeros((2, 2)), np.eye(2)]]
+    )
+    B = np.vstack([0.5 * dt * dt * np.eye(2), dt * np.eye(2)])
+    Q = np.diag([1.0, 1.0, 0.1, 0.1])
+    T = 30
+    lti = condense_lti(A, B, Q, 0.01, 10 * Q, T, np.zeros(4), u_max=1.0)
+    assert lti.H.shape == (60, 60)
+    assert np.linalg.eigvalsh(lti.H).min() > 0
+
+    # quantized solve vs float64 reference on the multi-input problem
+    qqp = quantize(lti)
+    assert qqp.padded == 64
+    solver = FixedPointPGD(qqp, iters=60, error_feedback=True)
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(-2, 2, size=(8, 4))
+    _, u = solver.solve(x0)
+    u_ref = lti.solve_pgd(x0, iters=60)
+    c_got = solver.cost(np.asarray(u), x0)
+    c_ref = solver.cost(u_ref, x0)
+    c0 = solver.cost(np.zeros_like(u_ref), x0)
+    assert np.all(c_got - c_ref <= 0.02 * (c0 - c_ref + 1e-9))
