@@ -64,18 +64,25 @@ class FusedPGD:
     iters: int = 40
     block_rows: int = 2048   # best in the on-chip sweep (169 us/solve-batch)
     mxu_pack: int = 1
+    packed_io: bool = False
+    """Read/write SWAR words directly in the kernel.
+
+    Mosaic cannot shape-cast the interleaved (R, C, 4)->(R, 4C) unpack, but
+    a *grouped* lane order (all lane-0s | all lane-1s | ...) unpacks with 4
+    shifted copies + one lane-axis concatenate -- no reshape.  The Hessian
+    and linear term are permuted to the grouped order at trace time, so the
+    math (and the packed result) is bit-identical; only in-kernel column
+    order differs.  Saves the once-per-solve XLA-side lane conversion
+    (4x the word bytes)."""
     # None = auto: interpreter off-TPU so the same code runs everywhere
     interpret: object = None
 
-    def _kernel(self, u_ref, g_ref, h_ref, out_ref):
+    def _body(self, g, h):
         qqp = self.qqp
         hs_num = np.int32(qqp.hs_num)
         hs_den = np.int32(qqp.hs_den)
         g_shift = np.int32(qqp.g_shift)
         half = np.int32(1 << (qqp.g_shift - 1))
-
-        g = g_ref[:]                                 # (R, Tp) int32
-        h = h_ref[:]                                 # (Tp, Tp) int8
 
         def body(_, lanes):
             acc = jax.lax.dot_general(
@@ -89,7 +96,36 @@ class FusedPGD:
             delta = jnp.clip((step + half) >> g_shift, -128, 127)
             return jnp.clip(lanes + delta, -127, 127)
 
+        return body
+
+    def _kernel(self, u_ref, g_ref, h_ref, out_ref):
+        body = self._body(g_ref[:], h_ref[:])
         out_ref[:] = jax.lax.fori_loop(0, self.iters, body, u_ref[:])
+
+    def _kernel_packed(self, w_ref, g_ref, h_ref, out_ref):
+        """Packed-I/O variant: words in, words out, grouped lane order."""
+        w = w_ref[:].astype(jnp.int32)               # (R, C) bit-identical
+        # grouped unpack: column k*C+j holds lane k of word j
+        lanes0 = jnp.concatenate(
+            [
+                jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(w, jnp.int32(24 - 8 * k)),
+                    jnp.int32(24),
+                )
+                for k in range(4)
+            ],
+            axis=1,
+        )                                            # (R, 4C) int32
+        body = self._body(g_ref[:], h_ref[:])
+        lanes = jax.lax.fori_loop(0, self.iters, body, lanes0)
+        cols = lanes.shape[1] // 4
+        out = jnp.zeros((lanes.shape[0], cols), jnp.int32)
+        for k in range(4):
+            blk = jax.lax.dynamic_slice_in_dim(lanes, k * cols, cols, axis=1)
+            out = out | jax.lax.shift_left(
+                blk & jnp.int32(0xFF), jnp.int32(8 * k)
+            )
+        out_ref[:] = out.astype(jnp.uint32)
 
     @functools.cached_property
     def _call(self):
@@ -104,6 +140,54 @@ class FusedPGD:
             if self.interpret is not None
             else jax.default_backend() not in ("tpu", "axon")
         )
+
+        if self.packed_io:
+            if k != 1:
+                raise ValueError("packed_io does not combine with mxu_pack")
+            C = qqp.padded // 4
+            # grouped column gc = lane_k*C + word_j  <->  lane index 4j+k
+            perm = np.array(
+                [4 * (gc % C) + gc // C for gc in range(qqp.padded)]
+            )
+            hq_g = qqp.Hq[np.ix_(perm, perm)]
+
+            def run_packed(u_words: Array, g_pre: Array) -> Array:
+                batch = u_words.shape[0]
+                rows = -(-batch // br) * br
+                pad = rows - batch
+                if pad:
+                    u_words = jnp.concatenate(
+                        [u_words, jnp.zeros((pad, C), u_words.dtype)]
+                    )
+                    g_pre = jnp.concatenate(
+                        [g_pre, jnp.zeros((pad, qqp.padded), g_pre.dtype)]
+                    )
+                g_g = g_pre[:, perm]
+                wspec = pl.BlockSpec(
+                    (br, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+                )
+                lspec = pl.BlockSpec(
+                    (br, qqp.padded), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                out = pl.pallas_call(
+                    self._kernel_packed,
+                    out_shape=jax.ShapeDtypeStruct((rows, C), jnp.uint32),
+                    grid=(rows // br,),
+                    in_specs=[
+                        wspec,
+                        lspec,
+                        pl.BlockSpec(
+                            (qqp.padded, qqp.padded), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=wspec,
+                    interpret=interpret,
+                )(u_words, g_g, jnp.asarray(hq_g))
+                return out[:batch]
+
+            return jax.jit(run_packed)
 
         def run(u_words: Array, g_pre: Array) -> Array:
             batch = u_words.shape[0]

@@ -40,3 +40,21 @@ def test_fused_matches_reference_solver(qqp, batch):
     got = fused.solve_words(u0, g)
     expected = jax.jit(word_solver.solve_words)(u0, g)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+@pytest.mark.parametrize("batch", [16, 128])
+def test_packed_io_matches_reference(qqp, batch):
+    iters = 25
+    fused = FusedPGD(
+        qqp, iters=iters, block_rows=64, packed_io=True, interpret=True
+    )
+    word_solver = FixedPointPGD(qqp, iters=iters)
+    rng = np.random.default_rng(3)
+    x0 = np.stack(
+        [rng.uniform(-3, 3, batch), rng.uniform(-1, 1, batch)], axis=-1
+    )
+    g = jnp.asarray(qqp.g_lane_fixed(x0))
+    u0 = fused.init_words(batch)
+    got = fused.solve_words(u0, g)
+    expected = jax.jit(word_solver.solve_words)(u0, g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
