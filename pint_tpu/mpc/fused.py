@@ -121,7 +121,7 @@ class FusedPGD:
         cols = lanes.shape[1] // 4
         out = jnp.zeros((lanes.shape[0], cols), jnp.int32)
         for k in range(4):
-            blk = jax.lax.dynamic_slice_in_dim(lanes, k * cols, cols, axis=1)
+            blk = lanes[:, k * cols : (k + 1) * cols]  # static slice
             out = out | jax.lax.shift_left(
                 blk & jnp.int32(0xFF), jnp.int32(8 * k)
             )
