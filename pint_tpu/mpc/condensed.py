@@ -216,10 +216,19 @@ def quantize(
     val = h_scale * float(2**g_shift)
     acc_max = 127 * 127 * Tp
     num_max = (2**31 - 1) // acc_max
-    hs_den = max(0, int(np.floor(np.log2(num_max / val))))
+    # hs_den is an int32 arithmetic-shift amount: it must stay in [0, 31]
+    hs_den = max(0, min(31, int(np.floor(np.log2(num_max / val)))))
     hs_num = int(round(val * 2**hs_den))
     if hs_num < 1:
-        raise ValueError("h_scale too small; increase g_shift")
+        raise ValueError(
+            f"step scale {val!r} cannot be represented as an int32 rational "
+            "(problem scaling is degenerate); rescale the QP or raise g_shift"
+        )
+    if hs_num > num_max:
+        raise ValueError(
+            f"step scale {val!r} overflows the int32 accumulator budget "
+            f"(hs_num={hs_num} > {num_max}); lower g_shift or rescale"
+        )
 
     return QuantizedQP(
         qp=qp,
