@@ -26,9 +26,6 @@ def test_solver_accumulator_bound_at_extremes():
     # after clipping)
     g = jnp.full((batch, qqp.padded), 2**31 - 1, jnp.int32)
     out = jax.jit(solver.solve_words)(solver.init_words(batch), g)
-    lanes = np.asarray(
-        jax.jit(lambda w: solver.qqp and w)(out)
-    )  # materialize
     # all lanes driven to the box floor, never past it
     from pint_tpu.models.dynamics import unpack_controls
 
