@@ -64,6 +64,11 @@ def main() -> None:
         got = P.binop(lay, op, interpret=False)(aw, bw)
         exp = getattr(W, op)(lay, aw, bw)
         check(f"pallas {op}", bool(jnp.all(got == exp)))
+    for op in ("shift_left", "shift_right_unsigned"):
+        for amount in (0, 3, 9):
+            got = P.shift(lay, op, interpret=False)(aw, amount)
+            exp = getattr(W, op)(lay, aw, amount)
+            check(f"pallas {op}({amount})", bool(jnp.all(got == exp)))
 
     # 3. fused MPC kernel vs word-space solver
     from pint_tpu.mpc import (
@@ -79,6 +84,10 @@ def main() -> None:
     w_ref = jax.jit(FixedPointPGD(qqp, iters=40).solve_words)(u0, g)
     w_fused = FusedPGD(qqp, iters=40, interpret=False).solve_words(u0, g)
     check("fused == word-space solver", bool(jnp.all(w_ref == w_fused)))
+    w_pio = FusedPGD(
+        qqp, iters=40, packed_io=True, block_rows=256, interpret=False
+    ).solve_words(u0, g)
+    check("fused packed_io == word-space solver", bool(jnp.all(w_ref == w_pio)))
 
     # 4. quantized rollout vs float64 reference
     from pint_tpu.models import DoubleIntegrator, pack_controls
