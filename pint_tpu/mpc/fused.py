@@ -104,7 +104,10 @@ class FusedPGD:
 
     def _kernel_packed(self, w_ref, g_ref, h_ref, out_ref):
         """Packed-I/O variant: words in, words out, grouped lane order."""
-        w = w_ref[:].astype(jnp.int32)               # (R, C) bit-identical
+        # bitcast, NOT astype: uint32->int32 value conversion of words with
+        # the top bit set is implementation-defined on overflow (Mosaic
+        # clamps, CPU wraps) -- this must be a reinterpretation
+        w = jax.lax.bitcast_convert_type(w_ref[:], jnp.int32)  # (R, C)
         # grouped unpack: column k*C+j holds lane k of word j
         lanes0 = jnp.concatenate(
             [
@@ -125,7 +128,7 @@ class FusedPGD:
             out = out | jax.lax.shift_left(
                 blk & jnp.int32(0xFF), jnp.int32(8 * k)
             )
-        out_ref[:] = out.astype(jnp.uint32)
+        out_ref[:] = jax.lax.bitcast_convert_type(out, jnp.uint32)
 
     @functools.cached_property
     def _call(self):
