@@ -244,6 +244,31 @@ def main() -> None:
     if "--sweep" in sys.argv:
         results["width_sweep"] = bench_width_sweep(overhead)
         results["vpu_int32_Tops_per_s"] = bench_vpu_ops(overhead) / 1e12
+
+        # unicycle rollouts (fixed-point trig path)
+        from pint_tpu.models import Unicycle, pack_controls
+
+        uni = Unicycle()
+        rng = np.random.default_rng(1)
+        batch, horizon = 8192, 50
+        ctrl = jnp.asarray(
+            rng.integers(-128, 128, (batch, 2 * horizon), dtype=np.int32)
+        )
+        words = pack_controls(ctrl)
+
+        def uni_step(state0, w):
+            states = uni.rollout_packed(state0, w)
+            return states[..., -1, :] + (jnp.sum(states, axis=-2) & 1)
+
+        sec = time_chained(
+            uni_step,
+            jnp.zeros((batch, 3), jnp.int32),
+            words,
+            inner=128,
+            reps=3,
+            overhead=overhead,
+        )
+        results["unicycle_rollouts_per_s_b8192_h50"] = batch / sec
         with open("BENCH_sweep.json", "w") as f:
             json.dump(results, f, indent=2)
         print(json.dumps({"metric": "width_sweep", "value": 1, "unit": "done",
