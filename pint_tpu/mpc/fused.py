@@ -65,15 +65,16 @@ class FusedPGD:
     block_rows: int = 2048   # best in the on-chip sweep (169 us/solve-batch)
     mxu_pack: int = 1
     packed_io: bool = False
-    """Read/write SWAR words directly in the kernel.
-
-    Mosaic cannot shape-cast the interleaved (R, C, 4)->(R, 4C) unpack, but
-    a *grouped* lane order (all lane-0s | all lane-1s | ...) unpacks with 4
-    shifted copies + one lane-axis concatenate -- no reshape.  The Hessian
-    and linear term are permuted to the grouped order at trace time, so the
-    math (and the packed result) is bit-identical; only in-kernel column
-    order differs.  Saves the once-per-solve XLA-side lane conversion
-    (4x the word bytes)."""
+    """EXPERIMENTAL -- interpret-mode only.  Read/write SWAR words directly
+    in the kernel via a grouped lane order (all lane-0s | all lane-1s | ...)
+    that unpacks with shifted copies + a lane-axis concatenate, no reshape.
+    Semantically bit-identical (tests/test_fused.py, interpret mode), but
+    the current Mosaic compiler MISCOMPILES the sub-tile (16-lane) concat/
+    slice shuffles on hardware -- lane-2 bytes of odd word columns come back
+    zeroed (verified 2026-08-17 on v5e; minimal repro: grouped unpack->
+    repack identity kernel).  Native compilation therefore raises until the
+    toolchain fixes lane-granular shuffles; the saving at stake is <5% of
+    solve time (the once-per-solve XLA-side conversion)."""
     # None = auto: interpreter off-TPU so the same code runs everywhere
     interpret: object = None
 
@@ -147,6 +148,12 @@ class FusedPGD:
         if self.packed_io:
             if k != 1:
                 raise ValueError("packed_io does not combine with mxu_pack")
+            if not interpret:
+                raise NotImplementedError(
+                    "packed_io is interpret-mode only: Mosaic miscompiles "
+                    "the 16-lane concat/slice shuffles on TPU (lane-2 bytes "
+                    "zeroed; see docstring). Use packed_io=False."
+                )
             C = qqp.padded // 4
             # grouped column gc = lane_k*C + word_j  <->  lane index 4j+k
             perm = np.array(

@@ -84,10 +84,8 @@ def main() -> None:
     w_ref = jax.jit(FixedPointPGD(qqp, iters=40).solve_words)(u0, g)
     w_fused = FusedPGD(qqp, iters=40, interpret=False).solve_words(u0, g)
     check("fused == word-space solver", bool(jnp.all(w_ref == w_fused)))
-    w_pio = FusedPGD(
-        qqp, iters=40, packed_io=True, block_rows=256, interpret=False
-    ).solve_words(u0, g)
-    check("fused packed_io == word-space solver", bool(jnp.all(w_ref == w_pio)))
+    # packed_io is interpret-only pending a Mosaic lane-shuffle fix (see
+    # FusedPGD.packed_io docstring); not checked here.
 
     # 4. quantized rollout vs float64 reference
     from pint_tpu.models import DoubleIntegrator, pack_controls
