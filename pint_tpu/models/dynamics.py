@@ -184,6 +184,18 @@ def _sin_turns_f64(theta_turns: np.ndarray) -> np.ndarray:
     return np.where(t >= 0.5, -val, val)
 
 
+def _sin_turns_f32(theta_turns: Array) -> Array:
+    """Differentiable jnp twin of the quadratic sine (same parabola).
+
+    Piecewise-smooth (C^0 with kinks at half-turn boundaries), which is fine
+    for gradient-based planning: jnp.where picks one branch's gradient.
+    """
+    t = jnp.mod(theta_turns, 1.0)
+    half = jnp.mod(t, 0.5)
+    val = 16.0 * half * (0.5 - half)
+    return jnp.where(t >= 0.5, -val, val)
+
+
 @dataclasses.dataclass(frozen=True)
 class Unicycle:
     """Planar unicycle, fixed-point, with quadratic trig.
@@ -255,6 +267,34 @@ class Unicycle:
         lanes = unpack_controls(control_words)  # (..., 2T)
         ctrl = lanes.reshape(*lanes.shape[:-1], lanes.shape[-1] // 2, 2)
         return self.rollout(state0, ctrl)
+
+    # -- float32 differentiable twin ----------------------------------------
+
+    def rollout_f32(self, state0_f: Array, controls_f: Array) -> Array:
+        """Differentiable float32 rollout of the same discrete map.
+
+        state0_f: (..., 3) float32 [x, y, theta-in-turns], physical units;
+        controls_f: (..., T, 2) physical units.  Gradients through this twin
+        drive the quantization-aware nonlinear solver
+        (pint_tpu.mpc.nonlinear); the quantized integer rollout remains the
+        ground truth it is evaluated against.
+        """
+        dt = np.float32(self.dt)
+
+        def body(carry, u_t):
+            x, y, th = carry[..., 0], carry[..., 1], carry[..., 2]
+            v, w = u_t[..., 0], u_t[..., 1]
+            x = x + v * _sin_turns_f32(th + 0.25) * dt
+            y = y + v * _sin_turns_f32(th) * dt
+            th = th + w * dt
+            nxt = jnp.stack([x, y, th], axis=-1)
+            return nxt, nxt
+
+        controls_tfirst = jnp.moveaxis(controls_f, -2, 0)
+        _, states = jax.lax.scan(body, state0_f.astype(jnp.float32),
+                                 controls_tfirst.astype(jnp.float32))
+        states = jnp.moveaxis(states, 0, -2)
+        return jnp.concatenate([state0_f[..., None, :], states], axis=-2)
 
     # -- float64 reference --------------------------------------------------
 

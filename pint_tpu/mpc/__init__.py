@@ -8,6 +8,7 @@ from pint_tpu.mpc.condensed import (
 from pint_tpu.mpc.controller import RecedingHorizonController
 from pint_tpu.mpc.fused import FusedPGD
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
+from pint_tpu.mpc.nonlinear import QuantizedNonlinearPGD
 from pint_tpu.mpc.solver import FixedPointPGD
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "FusedPGD",
     "RecedingHorizonController",
     "QuantizedMPPI",
+    "QuantizedNonlinearPGD",
     "unicycle_goal_cost",
 ]

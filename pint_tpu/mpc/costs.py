@@ -41,9 +41,13 @@ def combine(*costs: CostFn) -> CostFn:
 
 
 def _xy(model, states) -> Array:
-    return states[..., :2].astype(jnp.float32) * np.float32(
-        2.0**-model.frac_bits
-    )
+    """Physical-unit xy from either fixed-point (int) or physical (float)
+    trajectories, so the same cost functions drive the quantized rollouts,
+    the MPPI scorer, and the differentiable float32 twin."""
+    xy = states[..., :2]
+    if jnp.issubdtype(xy.dtype, jnp.integer):
+        return xy.astype(jnp.float32) * np.float32(2.0**-model.frac_bits)
+    return xy.astype(jnp.float32)
 
 
 def goal_cost(
