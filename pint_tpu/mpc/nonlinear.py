@@ -118,6 +118,57 @@ class QuantizedNonlinearPGD:
 
         return jax.lax.fori_loop(0, self.iters, body, u_words)
 
+    # -- closed loop ---------------------------------------------------------
+
+    def run_closed_loop(
+        self,
+        state0_fp: Array,          # (B, 3) int32
+        cost_fn,
+        ticks: int,
+        iters_per_tick: int = 8,
+    ) -> Tuple[Array, Array]:
+        """Receding-horizon gradient MPC: per tick, refine the warm-started
+        packed plan with ``iters_per_tick`` gradient steps, apply the first
+        (v, w) pair on the QUANTIZED plant, shift the plan.  One jitted
+        `lax.scan`; fully deterministic (no sampling).
+
+        Returns (states (B, ticks+1, 3) int32, applied controls
+        (B, ticks, 2) int32 lanes)."""
+        tick_solver = dataclasses.replace(self, iters=iters_per_tick)
+        batch = state0_fp.shape[0]
+
+        def to_f(state):
+            return jnp.concatenate(
+                [
+                    state[..., :2].astype(jnp.float32)
+                    * np.float32(2.0**-self.model.frac_bits),
+                    state[..., 2:].astype(jnp.float32) * np.float32(2.0**-16),
+                ],
+                axis=-1,
+            )
+
+        def tick(carry, _):
+            state, words = carry
+            words = tick_solver.solve_words(words, to_f(state), cost_fn)
+            lanes = unpack_controls(words)
+            v0, w0 = lanes[..., 0], lanes[..., 1]
+            state2 = self.model.step(state, v0, w0)
+            shifted = jnp.concatenate(
+                [lanes[..., 2:], jnp.zeros_like(lanes[..., :2])], axis=-1
+            )
+            return (state2, pack_controls(shifted)), (
+                state2,
+                jnp.stack([v0, w0], axis=-1),
+            )
+
+        (_, _), (states, ctrl) = jax.lax.scan(
+            tick, (state0_fp, self.init_words(batch)), None, length=ticks
+        )
+        states = jnp.moveaxis(states, 0, -2)
+        ctrl = jnp.moveaxis(ctrl, 0, -2)
+        states = jnp.concatenate([state0_fp[..., None, :], states], axis=-2)
+        return states, ctrl
+
     def solve(
         self, state0_fp: Array, cost_fn
     ) -> Tuple[Array, Array]:

@@ -80,6 +80,26 @@ def test_nonlinear_pgd_beats_mppi_on_smooth_goal(model):
     assert d_grad <= d_mppi + 0.05, (d_grad, d_mppi)
 
 
+def test_nonlinear_closed_loop(model):
+    solver = QuantizedNonlinearPGD(
+        model, horizon=32, iters=8, step_lanes=8.0, final_lanes=1.0
+    )
+    goal = jnp.asarray([[1.0, 0.5]])
+    cost_fn = goal_cost(model, goal)
+    state0 = jnp.zeros((1, 3), jnp.int32)
+    states, ctrl = jax.jit(
+        lambda s: solver.run_closed_loop(s, cost_fn, ticks=50,
+                                         iters_per_tick=6)
+    )(state0)
+    assert states.shape == (1, 51, 3)
+    xy = np.asarray(states)[0, :, :2] * 2.0**-model.frac_bits
+    dist = np.linalg.norm(xy - np.asarray(goal)[0], axis=-1)
+    assert dist[-1] < 0.35, f"closed-loop terminal distance {dist[-1]}"
+    # deterministic
+    states2, _ = solver.run_closed_loop(state0, cost_fn, 50, 6)
+    np.testing.assert_array_equal(np.asarray(states), np.asarray(states2))
+
+
 def test_nonlinear_pgd_respects_obstacles(model):
     # obstacle slightly off the path axis: a perfectly symmetric saddle has
     # zero lateral gradient and is the one configuration gradient planners
