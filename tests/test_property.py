@@ -146,6 +146,31 @@ def test_slice_random(layout):
             )
 
 
+@pytest.mark.parametrize(
+    "layout",
+    [PackedLayout(3, 3, 3), PackedLayout(1, 2, 3, 4, 5, 6, 11),
+     PackedLayout(5, 6, 5), PackedLayout(1)],
+    ids=str,
+)
+def test_ops_preserve_canonical_words(layout):
+    """The API contract: canonical in (unused high bits zero) -> canonical
+    out, for every op.  This is what makes op chaining sound."""
+    aw = _random_words(layout, 256, seed=11)
+    bw = _random_words(layout, 256, seed=12)
+    a = jnp.asarray(aw.astype(layout.word_dtype))
+    b = jnp.asarray(bw.astype(layout.word_dtype))
+    unused = ~np.uint64(layout.used_mask)
+    for opname in BINOPS:
+        out = np.asarray(getattr(W, opname)(layout, a, b)).astype(np.uint64)
+        assert not (out & unused).any(), f"{opname} set unused bits"
+    for opname in ("shift_left", "shift_right_unsigned"):
+        for amount in (0, 1, layout.max_width - 1):
+            out = np.asarray(
+                getattr(W, opname)(layout, a, amount)
+            ).astype(np.uint64)
+            assert not (out & unused).any(), f"{opname}({amount})"
+
+
 def test_packed_array_pytree():
     import jax
 
