@@ -36,6 +36,19 @@ def test_closed_loop_regulates_to_origin(controller):
     assert np.abs(np.asarray(lanes)).max() <= 127
 
 
+def test_closed_loop_fused_solver_identical(controller):
+    """use_fused ticks must produce the exact same closed-loop trajectory."""
+    import dataclasses
+
+    fused_ctrl = dataclasses.replace(controller, use_fused=True)
+    model = controller.model
+    x0 = jnp.asarray(model.to_fixed(np.array([[2.5, -0.3]])))
+    s1, l1 = controller.run(x0, ticks=40)
+    s2, l2 = fused_ctrl.run(x0, ticks=40)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_closed_loop_is_deterministic(controller):
     model = controller.model
     x0 = jnp.asarray(model.to_fixed(np.array([[2.0, -0.5]])))
