@@ -275,15 +275,18 @@ def main() -> None:
                           "vs_baseline": 1}))
         return
 
-    raw_wps = bench_raw_add(N_WORDS, overhead)
-    results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
-
     # headline: the reference's flagship saturating config <8,8,8,8>
-    # (pint_bench.cpp:456-467, compared there against SSE2 _mm_adds_epu8)
+    # (pint_bench.cpp:456-467, compared there against SSE2 _mm_adds_epu8).
+    # The raw-add calibration brackets the packed measurement (before and
+    # after) so clock/thermal drift cancels out of the ratio.
     lay8888 = PackedLayout(8, 8, 8, 8)
+    raw_wps_1 = bench_raw_add(N_WORDS, overhead)
     wps, lps = bench_packed_op(
         lay8888, "add_unsigned_saturate", N_WORDS, overhead
     )
+    raw_wps_2 = bench_raw_add(N_WORDS, overhead)
+    raw_wps = 0.5 * (raw_wps_1 + raw_wps_2)
+    results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
     results["addsat_u8x4_Gwords_per_s"] = wps / 1e9
     results["addsat_u8x4_Glanes_per_s"] = lps / 1e9
     sol_lanes = raw_wps * lay8888.num_lanes
