@@ -293,9 +293,15 @@ def main() -> None:
     vs_sol = lps / sol_lanes
     results["addsat_u8x4_vs_speed_of_light"] = vs_sol
 
-    # reference's heterogeneous 7-lane config (pint_bench.cpp:85-95)
+    # reference's heterogeneous 7-lane config: AddWrap/SubWrap/AddSatU2/
+    # AddSatS2 families (pint_bench.cpp:85-151, 224-270, 274-369, 586-632)
     lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
-    for op in ("add_wrap", "add_unsigned_saturate", "add_signed_saturate"):
+    for op in (
+        "add_wrap",
+        "sub_wrap",
+        "add_unsigned_saturate",
+        "add_signed_saturate",
+    ):
         _, lps_h = bench_packed_op(lay_het, op, N_WORDS, overhead)
         results[f"{op}_het7_Glanes_per_s"] = lps_h / 1e9
     _, lps_s = bench_packed_op(lay8888, "add_signed_saturate", N_WORDS, overhead)
