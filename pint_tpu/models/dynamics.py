@@ -44,22 +44,31 @@ __all__ = [
 ]
 
 
-def pack_controls(controls_i8: Array) -> Array:
-    """(..., T) int8/int32 control lanes -> (..., T/4) uint32 packed words.
+def pack_controls(controls: Array, layout: PackedLayout = CONTROL_LAYOUT) -> Array:
+    """(..., T) int control lanes -> (..., T/k) packed words (k lanes/word).
 
-    T must be a multiple of 4.  Lane k of word j holds control step 4j+k.
+    T must be a multiple of the layout's lane count.  Lane k of word j holds
+    control step k_lanes*j + k.  The default layout is 4x int8 per uint32;
+    any uniform layout works -- e.g. ``PackedLayout(*([4]*8))`` stores int4
+    plans at 8 steps per word (there is no native sub-byte dtype; SWAR
+    packing is the only way to get that density).
     """
-    t = controls_i8.shape[-1]
-    if t % 4:
-        raise ValueError(f"control horizon {t} must be a multiple of 4")
-    lanes = controls_i8.reshape(*controls_i8.shape[:-1], t // 4, 4)
-    return W.pack(CONTROL_LAYOUT, lanes.astype(jnp.int32))
+    k = layout.num_lanes
+    t = controls.shape[-1]
+    if t % k:
+        raise ValueError(
+            f"control horizon {t} must be a multiple of {k} lanes"
+        )
+    lanes = controls.reshape(*controls.shape[:-1], t // k, k)
+    return W.pack(layout, lanes.astype(jnp.int32))
 
 
-def unpack_controls(words: Array) -> Array:
-    """(..., T/4) uint32 packed words -> (..., T) int32 sign-extended lanes."""
-    lanes = W.unpack_signed(CONTROL_LAYOUT, words)  # (..., T/4, 4) int32
-    return lanes.reshape(*words.shape[:-1], words.shape[-1] * 4)
+def unpack_controls(words: Array, layout: PackedLayout = CONTROL_LAYOUT) -> Array:
+    """(..., T/k) packed words -> (..., T) int32 sign-extended lanes."""
+    lanes = W.unpack_signed(layout, words)  # (..., T/k, k) int32
+    return lanes.reshape(
+        *words.shape[:-1], words.shape[-1] * layout.num_lanes
+    )
 
 
 @dataclasses.dataclass(frozen=True)

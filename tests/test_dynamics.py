@@ -28,6 +28,49 @@ def test_pack_unpack_controls_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), lanes)
 
 
+def test_int4_control_plans():
+    """Sub-byte plans: 8 x int4 lanes per word (2x denser than int8).
+
+    A quantized-to-int4 plan rolls out within the coarser quantization
+    tolerance -- the use case is coarse warm-start plans at half the HBM
+    footprint.
+    """
+    from pint_tpu import PackedLayout
+
+    int4 = PackedLayout(*([4] * 8))
+    model = DoubleIntegrator()
+    rng = np.random.default_rng(7)
+    B, T = 16, 48
+    lanes8 = rng.integers(-128, 128, size=(B, T), dtype=np.int32)
+    # quantize int8 lanes to int4 (step 16)
+    lanes4 = np.clip(np.round(lanes8 / 16.0), -8, 7).astype(np.int32)
+
+    words4 = pack_controls(jnp.asarray(lanes4), int4)
+    assert words4.shape == (B, T // 8)  # half the words of the int8 plan
+    back = unpack_controls(words4, int4)
+    np.testing.assert_array_equal(np.asarray(back), lanes4)
+
+    # saturating int4 arithmetic works on the packed plan
+    from pint_tpu.ops import word as W
+
+    doubled = W.add_signed_saturate(int4, words4, words4)
+    lanes_doubled = np.asarray(unpack_controls(doubled, int4))
+    np.testing.assert_array_equal(
+        lanes_doubled, np.clip(lanes4 * 2, -8, 7)
+    )
+
+    # rollout of the dequantized int4 plan tracks the int8 plan coarsely
+    states8 = model.rollout(jnp.zeros((B, 2), jnp.int32), jnp.asarray(lanes8))
+    states4 = model.rollout(
+        jnp.zeros((B, 2), jnp.int32), jnp.asarray(lanes4 * 16)
+    )
+    v_err = model.to_float(
+        np.abs(np.asarray(states8) - np.asarray(states4))[..., 1]
+    )
+    # per-step control error <= 8 lane units -> velocity drift bounded
+    assert v_err.max() <= (T + 1) * 8 * model.u_scale * model.dt + 1e-9
+
+
 def test_double_integrator_matches_reference():
     model = DoubleIntegrator()
     rng = np.random.default_rng(1)
