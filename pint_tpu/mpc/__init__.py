@@ -5,6 +5,7 @@ from pint_tpu.mpc.condensed import (
     condense_lti,
     quantize,
 )
+from pint_tpu.mpc.accelerated import AcceleratedPGD
 from pint_tpu.mpc.controller import RecedingHorizonController
 from pint_tpu.mpc.fused import FusedPGD
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
@@ -18,6 +19,7 @@ __all__ = [
     "condense_lti",
     "quantize",
     "FixedPointPGD",
+    "AcceleratedPGD",
     "FusedPGD",
     "RecedingHorizonController",
     "QuantizedMPPI",
