@@ -118,7 +118,21 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     sec_fused = time_chained(
         fused.solve_words, u0, g, inner=256, reps=3, overhead=overhead
     )
-    return batch / sec_word, batch / sec_fused
+
+    # equal-accuracy accelerated config: Nesterov momentum reaches the
+    # 40-iter PGD cost in ~20 iterations (tests/test_accelerated.py)
+    accel = FusedPGD(
+        qqp, iters=20, momentum=True, block_rows=2048, interpret=False
+    )
+    from pint_tpu.mpc.accelerated import AcceleratedPGD
+
+    w3 = accel.solve_words(u0, g)
+    w3_ref = jax.jit(AcceleratedPGD(qqp, iters=20).solve_words)(u0, g)
+    assert bool(jnp.all(w3 == w3_ref)), "fused momentum diverged"
+    sec_accel = time_chained(
+        accel.solve_words, u0, g, inner=256, reps=3, overhead=overhead
+    )
+    return batch / sec_word, batch / sec_fused, batch / sec_accel
 
 
 def bench_vpu_ops(overhead, n: int = 1 << 20, ops_per_pass: int = 64) -> float:
@@ -330,9 +344,10 @@ def main() -> None:
         results["rollout_error"] = repr(e)
 
     try:
-        word_rate, fused_rate = bench_mpc(overhead)
+        word_rate, fused_rate, accel_rate = bench_mpc(overhead)
         results["mpc_solves_per_s_b8192_h50_i40"] = word_rate
         results["mpc_fused_solves_per_s_b8192_h50_i40"] = fused_rate
+        results["mpc_fused_momentum_solves_per_s_b8192_h50_i20"] = accel_rate
     except Exception as e:  # keep the headline metric robust
         results["mpc_error"] = repr(e)
 
