@@ -51,6 +51,10 @@ class ShardedPGD:
     qqp: QuantizedQP
     mesh: Mesh
     iters: int = 40
+    momentum: bool = False
+    """Nesterov extrapolation (see mpc/accelerated.py): the second iterate
+    plane shards exactly like the first; bit-identical to AcceleratedPGD."""
+    beta_den: int = 8
 
     def __post_init__(self):
         tp = self.mesh.shape["tp"]
@@ -114,16 +118,43 @@ class ShardedPGD:
         )
         return u_words
 
+    @functools.cached_property
+    def _beta_num(self) -> int:
+        eig = np.linalg.eigvalsh(self.qqp.qp.H)
+        kappa = float(eig.max() / max(eig.min(), 1e-12))
+        rk = np.sqrt(kappa)
+        return int(round((rk - 1.0) / (rk + 1.0) * (1 << self.beta_den)))
+
     def _local_solve(self, u_words: Array, g_pre: Array, Hq: Array):
         r = jax.lax.axis_index("tp")
         Hq_cols = jax.lax.dynamic_slice_in_dim(
             Hq, r * self.block, self.block, axis=1
         )
 
-        def body(_, u):
-            return self._local_iterate(u, g_pre, Hq_cols)
+        if self.momentum:
+            bnum = np.int32(self._beta_num)
+            bden = np.int32(self.beta_den)
 
-        u_words = jax.lax.fori_loop(0, self.iters, body, u_words)
+            def mbody(_, carry):
+                x_words, xp_words = carry
+                x = unpack_controls(x_words)
+                xp = unpack_controls(xp_words)
+                y = jnp.clip(x + ((bnum * (x - xp)) >> bden), -127, 127)
+                y_words = pack_controls(y)
+                return (
+                    self._local_iterate(y_words, g_pre, Hq_cols),
+                    x_words,
+                )
+
+            u_words, _ = jax.lax.fori_loop(
+                0, self.iters, mbody, (u_words, u_words)
+            )
+        else:
+
+            def body(_, u):
+                return self._local_iterate(u, g_pre, Hq_cols)
+
+            u_words = jax.lax.fori_loop(0, self.iters, body, u_words)
         # residual diagnostic: global L1 of the final gradient block,
         # reduced over BOTH mesh axes (the "residual blocks reduced via
         # psum" path of BASELINE.json)

@@ -47,6 +47,21 @@ def test_sharded_matches_single_device(qqp, dp, tp):
     assert np.isfinite(float(residual))
 
 
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_sharded_momentum_matches_accelerated(qqp, dp, tp):
+    from pint_tpu.mpc.accelerated import AcceleratedPGD
+
+    iters = 15
+    mesh = make_mesh(dp=dp, tp=tp)
+    sharded = ShardedPGD(qqp, mesh, iters=iters, momentum=True)
+    acc = AcceleratedPGD(qqp, iters=iters)
+    x0 = _x0_batch(16, seed=9)
+    words_s, _, _ = sharded.solve(x0)
+    g = jax.numpy.asarray(qqp.g_lane_fixed(x0))
+    words_a = jax.jit(acc.solve_words)(acc.init_words(16), g)
+    np.testing.assert_array_equal(np.asarray(words_s), np.asarray(words_a))
+
+
 def test_sharded_solution_quality(qqp):
     mesh = make_mesh(dp=2, tp=4)
     sharded = ShardedPGD(qqp, mesh, iters=60)
