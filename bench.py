@@ -225,11 +225,13 @@ def bench_rollouts(overhead, batch=8192, horizon=52):
         # depend on the whole trajectory so it cannot be elided
         return states[..., -1, :] + (jnp.sum(states, axis=-2) & 1)
 
+    # the rollout step is ~25 us; inner=2048 keeps total compute well above
+    # the ~33ms sync jitter (inner=256 produced nonsense rates)
     sec = time_chained(
         step,
         jnp.zeros((batch, 2), jnp.int32),
         words,
-        inner=256,
+        inner=2048,
         reps=3,
         overhead=overhead,
     )
