@@ -1,3 +1,4 @@
+from pint_tpu.models.quadrotor import PlanarQuadrotor
 from pint_tpu.models.dynamics import (
     CONTROL_LAYOUT,
     DoubleIntegrator,
@@ -10,6 +11,7 @@ __all__ = [
     "CONTROL_LAYOUT",
     "DoubleIntegrator",
     "Unicycle",
+    "PlanarQuadrotor",
     "pack_controls",
     "unpack_controls",
 ]
