@@ -46,9 +46,13 @@ class MPCService:
         batch: int,
         iters_per_tick: int = 15,
         use_fused: Optional[bool] = None,
+        inputs_per_step: int = 1,
     ):
+        """``inputs_per_step``: m of the underlying MPC problem; the warm
+        -start shift moves one STEP (= m lanes) per tick."""
         self.qqp = qqp
         self.batch = batch
+        self.m = inputs_per_step
         if use_fused is None:
             use_fused = jax.default_backend() in ("tpu", "axon")
         if use_fused:
@@ -61,16 +65,16 @@ class MPCService:
         self._zero = self._solver.init_words(batch)
         self.stats = ServiceStats()
 
+        m = self.m
+
         @jax.jit
         def tick(words, g_pre):
             words = self._solver.solve_words(words, g_pre)
             lanes = unpack_controls(words)[:, : qqp.horizon]
-            # warm start for the next tick: plan shifted one step earlier
+            # warm start for the next tick: plan shifted one step (m lanes)
+            all_lanes = unpack_controls(words)
             shifted = jnp.concatenate(
-                [
-                    unpack_controls(words)[:, 1:],
-                    jnp.zeros_like(unpack_controls(words)[:, :1]),
-                ],
+                [all_lanes[:, m:], jnp.zeros_like(all_lanes[:, :m])],
                 axis=-1,
             )
             from pint_tpu.models.dynamics import pack_controls
