@@ -6,7 +6,7 @@ from pint_tpu.mpc.condensed import (
     quantize,
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
-from pint_tpu.mpc.controller import RecedingHorizonController
+from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
 from pint_tpu.mpc.fused import FusedPGD
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
 from pint_tpu.mpc.nonlinear import QuantizedNonlinearPGD
@@ -22,6 +22,7 @@ __all__ = [
     "AcceleratedPGD",
     "FusedPGD",
     "RecedingHorizonController",
+    "LTIController",
     "QuantizedMPPI",
     "QuantizedNonlinearPGD",
     "unicycle_goal_cost",

@@ -32,7 +32,94 @@ from pint_tpu.mpc.solver import FixedPointPGD
 
 Array = jax.Array
 
-__all__ = ["RecedingHorizonController"]
+__all__ = ["LTIController", "RecedingHorizonController"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LTIController:
+    """Generic receding-horizon controller for any quantized LTI MPC.
+
+    Couples a :class:`~pint_tpu.mpc.condensed.QuantizedQP` (built with
+    ``condense_lti``, any state dim n / input dim m) to a fixed-point plant
+    step ``plant_step(state_fp, u_lanes) -> state_fp`` where ``u_lanes`` is
+    the (..., m) int32 first-step control.  The per-tick linear term is the
+    folded float32 matmul of the physical state (states are int32 Q
+    ``frac_bits``); the warm start shifts the packed plan by m lanes.
+
+    Used by the quadrotor hover loop (tests/test_quadrotor.py); the
+    double-integrator convenience wrapper below predates it.
+    """
+
+    qqp: QuantizedQP
+    plant_step: callable = dataclasses.field(repr=False)
+    inputs_per_step: int = 1
+    frac_bits: int = 16
+    iters_per_tick: int = 15
+    use_fused: bool = False
+    error_feedback: bool = False
+
+    @functools.cached_property
+    def _solver(self):
+        if self.use_fused:
+            from pint_tpu.mpc.fused import FusedPGD
+
+            return FusedPGD(self.qqp, iters=self.iters_per_tick)
+        return FixedPointPGD(
+            self.qqp,
+            iters=self.iters_per_tick,
+            error_feedback=self.error_feedback,
+        )
+
+    @functools.cached_property
+    def _g_mat(self) -> np.ndarray:
+        scale = self.qqp.Gq_scale * 2.0**-self.frac_bits
+        n = self.qqp.qp.G.shape[1]
+        G = np.zeros((n, self.qqp.padded), np.float32)
+        G[:, : self.qqp.horizon] = (self.qqp.qp.G * scale).T.astype(np.float32)
+        return G
+
+    @functools.cached_property
+    def _g_ref(self) -> np.ndarray:
+        gr = np.zeros((self.qqp.padded,), np.float32)
+        gr[: self.qqp.horizon] = (
+            self.qqp.qp.g_ref * self.qqp.Gq_scale
+        ).astype(np.float32)
+        return gr
+
+    def tick(self, state_fp: Array, u_words: Array):
+        g = jnp.round(
+            state_fp.astype(jnp.float32) @ jnp.asarray(self._g_mat)
+            + jnp.asarray(self._g_ref)
+        ).astype(jnp.int32)
+        u_words = self._solver.solve_words(u_words, g)
+        lanes = unpack_controls(u_words)
+        m = self.inputs_per_step
+        u0 = lanes[..., :m]
+        state2 = self.plant_step(state_fp, u0)
+        shifted = jnp.concatenate(
+            [lanes[..., m:], jnp.zeros_like(lanes[..., :m])], axis=-1
+        )
+        return state2, pack_controls(shifted), u0
+
+    def run(self, state0_fp: Array, ticks: int):
+        """Closed loop; returns (states (B, ticks+1, n), applied controls
+        (B, ticks, m))."""
+        u0_words = jnp.zeros(
+            state0_fp.shape[:-1] + (self.qqp.padded // 4,), jnp.uint32
+        )
+
+        def body(carry, _):
+            state, words = carry
+            state2, words2, u0 = self.tick(state, words)
+            return (state2, words2), (state2, u0)
+
+        (_, _), (states, lanes) = jax.lax.scan(
+            body, (state0_fp, u0_words), None, length=ticks
+        )
+        states = jnp.moveaxis(states, 0, -2)   # (B, ticks, n)
+        lanes = jnp.moveaxis(lanes, 0, -2)     # (B, ticks, m)
+        states = jnp.concatenate([state0_fp[..., None, :], states], axis=-2)
+        return states, lanes
 
 
 @dataclasses.dataclass(frozen=True)

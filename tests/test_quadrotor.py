@@ -61,38 +61,24 @@ def test_hover_mpc_closed_loop(model):
     assert qqp.u_scale == pytest.approx(u_max / 127)
     solver = FixedPointPGD(qqp, iters=25, error_feedback=True)
 
-    # device-side linear term (same folding as RecedingHorizonController)
-    from pint_tpu.models.dynamics import pack_controls, unpack_controls
+    from pint_tpu.mpc.controller import LTIController
 
-    scale = qqp.Gq_scale * 2.0**-model.frac_bits
-    Gm = np.zeros((6, qqp.padded), np.float32)
-    Gm[:, : qqp.horizon] = (qp.G * scale).T.astype(np.float32)
-    g_ref = np.zeros((qqp.padded,), np.float32)
-    g_ref[: qqp.horizon] = (qp.g_ref * qqp.Gq_scale).astype(np.float32)
-
-    def tick(carry, _):
-        state, u_words = carry
-        g = jnp.round(
-            state.astype(jnp.float32) @ jnp.asarray(Gm) + jnp.asarray(g_ref)
-        ).astype(jnp.int32)
-        u_words = solver.solve_words(u_words, g)
-        lanes = unpack_controls(u_words)
-        state2 = model.step(state, lanes[..., 0], lanes[..., 1])
-        shifted = jnp.concatenate(
-            [lanes[..., 2:], jnp.zeros_like(lanes[..., :2])], axis=-1
-        )
-        return (state2, pack_controls(shifted)), state2
+    controller = LTIController(
+        qqp,
+        plant_step=lambda s, u: model.step(s, u[..., 0], u[..., 1]),
+        inputs_per_step=2,
+        iters_per_tick=25,
+        error_feedback=True,
+    )
 
     state0 = jnp.asarray(
         model.to_fixed(np.array([[0.6, -0.4, 0.03, 0.0, 0.0, 0.0]]))
     )
-    (_, _), states = jax.jit(
-        lambda s: jax.lax.scan(tick, (s, solver.init_words(1)), None,
-                               length=160)
+    states, applied = jax.jit(
+        lambda s: controller.run(s, ticks=160)
     )(state0)
-    traj = model.to_float(
-        np.concatenate([np.asarray(state0), np.asarray(states)[:, 0]], axis=0)
-    )
+    assert applied.shape == (1, 160, 2)
+    traj = model.to_float(np.asarray(states)[0])
     # starts offset ...
     assert abs(traj[0, 0]) >= 0.5
     # ... ends hovering near the origin, level and slow
