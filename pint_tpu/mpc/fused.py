@@ -266,6 +266,24 @@ class FusedPGD:
 
         return jax.jit(run)
 
+    # -- multi-device --------------------------------------------------------
+
+    def dp_sharded(self, mesh):
+        """jitted dp-sharded solve over ``mesh``: each device runs the fused
+        kernel on its batch shard (no communication; bit-identical).  For tp
+        sharding use :class:`pint_tpu.parallel.ShardedPGD` (the gradient
+        psum cannot live inside one Pallas kernel)."""
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            lambda u, g: self.solve_words(u, g),
+            mesh=mesh,
+            in_specs=(P("dp", None), P("dp", None)),
+            out_specs=P("dp", None),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
     # -- public API (mirrors FixedPointPGD) ---------------------------------
 
     def init_words(self, batch: int) -> Array:

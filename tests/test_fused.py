@@ -58,3 +58,26 @@ def test_packed_io_matches_reference(qqp, batch):
     got = fused.solve_words(u0, g)
     expected = jax.jit(word_solver.solve_words)(u0, g)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_dp_sharded_fused_matches(qqp):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1)
+    fused = FusedPGD(qqp, iters=20, block_rows=32, interpret=True)
+    batch = 64
+    rng = np.random.default_rng(5)
+    x0 = np.stack(
+        [rng.uniform(-3, 3, batch), rng.uniform(-1, 1, batch)], axis=-1
+    )
+    g = jnp.asarray(qqp.g_lane_fixed(x0))
+    u0 = fused.init_words(batch)
+    sh = NamedSharding(mesh, P("dp", None))
+    out = fused.dp_sharded(mesh)(
+        jax.device_put(u0, sh), jax.device_put(g, sh)
+    )
+    ref = jax.jit(FixedPointPGD(qqp, iters=20).solve_words)(u0, g)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert len(out.sharding.device_set) == 8
