@@ -102,12 +102,24 @@ def _flatten_pad(x: Array, padded_total: int) -> Array:
     return flat.reshape(-1, _COLS)
 
 
+def _widen(x):
+    """Mosaic has no i8/u16 vector ALU ("Only vector<i16> and vector<i32>
+    are supported"); compute narrow-word layouts in a u32 container.  The
+    branch-free formulas are container-agnostic: sub-word wrap/borrow
+    behavior only ever matters below ``total_bits`` (the same invariant that
+    makes total_bits < word_bits layouts work), and every result is
+    canonical (< 2^total), so the narrowing cast back is exact.
+    """
+    return x.astype(jnp.uint32) if x.dtype.itemsize < 4 else x
+
+
 @functools.lru_cache(maxsize=None)
 def _binop_impl(layout: PackedLayout, name: str, interpret: bool):
     formula = getattr(W, name)
 
     def kernel(a_ref, b_ref, out_ref):
-        out_ref[:] = formula(layout, a_ref[:], b_ref[:])
+        out = formula(layout, _widen(a_ref[:]), _widen(b_ref[:]))
+        out_ref[:] = out.astype(layout.word_dtype)
 
     @jax.jit
     def run(a: Array, b: Array) -> Array:
@@ -148,7 +160,8 @@ def _shift_impl(layout: PackedLayout, name: str, interpret: bool):
     formula = getattr(W, name)
 
     def kernel(amt_ref, v_ref, out_ref):
-        out_ref[:] = formula(layout, v_ref[:], amt_ref[0])
+        out = formula(layout, _widen(v_ref[:]), amt_ref[0])
+        out_ref[:] = out.astype(layout.word_dtype)
 
     @jax.jit
     def run(v: Array, amount) -> Array:
@@ -197,10 +210,10 @@ def _sat_accum_impl(layout: PackedLayout, signed: bool, steps: int, interpret: b
     formula = W.add_signed_saturate if signed else W.add_unsigned_saturate
 
     def kernel(acc_ref, d_ref, out_ref):
-        acc = acc_ref[:]
+        acc = _widen(acc_ref[:])
         for s in range(steps):
-            acc = formula(layout, acc, d_ref[s])
-        out_ref[:] = acc
+            acc = formula(layout, acc, _widen(d_ref[s]))
+        out_ref[:] = acc.astype(layout.word_dtype)
 
     @jax.jit
     def run(acc: Array, deltas: Array) -> Array:

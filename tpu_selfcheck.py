@@ -69,6 +69,20 @@ def main() -> None:
             got = P.shift(lay, op, interpret=False)(aw, amount)
             exp = getattr(W, op)(lay, aw, amount)
             check(f"pallas {op}({amount})", bool(jnp.all(got == exp)))
+    # narrow word dtypes (widened to u32 in-kernel; Mosaic has no i8 ALU)
+    for widths in [(3, 3), (5, 6, 5)]:
+        lay_n = PackedLayout(*widths)
+        rngn = np.random.default_rng(7)
+        wn = rngn.integers(0, 1 << lay_n.word_bits, 4096, dtype=np.uint64)
+        an = jnp.asarray((wn & np.uint64(lay_n.used_mask)).astype(lay_n.word_dtype))
+        bn = jnp.asarray(
+            ((wn >> np.uint64(1)) & np.uint64(lay_n.used_mask)).astype(
+                lay_n.word_dtype
+            )
+        )
+        got = P.binop(lay_n, "add_unsigned_saturate", interpret=False)(an, bn)
+        exp = W.add_unsigned_saturate(lay_n, an, bn)
+        check(f"pallas u{lay_n.word_bits} addsat", bool(jnp.all(got == exp)))
 
     # 3. fused MPC kernel vs word-space solver
     from pint_tpu.mpc import (
