@@ -13,9 +13,12 @@ tests/test_pallas.py).
 Tiling: words are flattened and padded to (rows, COLS) with COLS=512 lanes,
 then gridded over row blocks sized to the VPU's (8, 128) int32 tile
 (pallas_guide: Tiling Constraints).  Word dtypes of 8/16/32 bits run native;
-64-bit words fall back to the jnp path (TPUs have no 64-bit integer vector
-unit -- XLA emulates them -- so a Pallas u64 kernel would be slower than the
-emulated XLA path).
+64-bit words (TPUs have no 64-bit integer vector unit, and Mosaic rejects
+i64 vectors) run as **split kernels**: each u64 word is bitcast to its two
+u32 halves and the same word.py formulas evaluate over
+:class:`~pint_tpu.ops.split64.SplitWord` pairs with branch-free cross-half
+carry propagation -- two u32 streams in/out per operand instead of one
+emulated u64 stream.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pint_tpu.layout import PackedLayout
+from pint_tpu.ops import split64 as S
 from pint_tpu.ops import word as W
 
 Array = jax.Array
@@ -37,7 +41,9 @@ Array = jax.Array
 __all__ = [
     "supported",
     "binop",
+    "binop_pair",
     "shift",
+    "shift_pair",
     "saturating_accumulate",
     "BINOP_NAMES",
     "SHIFT_NAMES",
@@ -62,7 +68,16 @@ _BLOCK_ROWS = 256
 
 
 def supported(layout: PackedLayout) -> bool:
-    """Whether a native Pallas kernel exists for this layout's word dtype."""
+    """Whether a Pallas kernel exists for this layout's word dtype.
+
+    8/16/32-bit words run as native (widened-to-u32) kernels; 64-bit words
+    run as split 2xu32 kernels.  Always true today -- kept as API for
+    callers that want to gate on kernel availability.
+    """
+    return layout.word_bits in (8, 16, 32, 64)
+
+
+def _native(layout: PackedLayout) -> bool:
     return layout.word_bits in (8, 16, 32)
 
 
@@ -136,22 +151,115 @@ def _binop_impl(layout: PackedLayout, name: str, interpret: bool):
     return run
 
 
+def _to_pair(x: Array) -> Array:
+    """uint64 array -> (..., 2) u32 pair words (requires x64)."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _from_pair(pair: Array) -> Array:
+    """(..., 2) u32 pair words -> uint64 array (requires x64)."""
+    return jax.lax.bitcast_convert_type(pair, jnp.uint64)
+
+
+def _pair_pad(pair: Array, padded_total: int) -> tuple[Array, Array]:
+    """(..., 2) pair words -> (lo, hi) planes flattened/padded to
+    (rows, COLS)."""
+    return (
+        _flatten_pad(pair[..., 0], padded_total),
+        _flatten_pad(pair[..., 1], padded_total),
+    )
+
+
+def _pair_trim(lo: Array, hi: Array, total: int, shape) -> Array:
+    pair = jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)
+    return pair[:total].reshape(*shape, 2)
+
+
+def _x32_trace():
+    """Trace-local x64 off: split kernels are pure u32, but an ambient
+    jax_enable_x64 turns Pallas index-map literals into i64 scalars which
+    Mosaic rejects ('failed to legalize func.return (i32, i64)').  The u64
+    bitcasts stay OUTSIDE this scope."""
+    return jax.enable_x64(False)
+
+
+@functools.lru_cache(maxsize=None)
+def _binop_pair_impl(layout: PackedLayout, name: str, interpret: bool):
+    formula = getattr(W, name)
+    view = S.SplitView(layout)
+
+    def kernel(alo, ahi, blo, bhi, olo, ohi):
+        a = S.SplitWord(alo[:], ahi[:])
+        b = S.SplitWord(blo[:], bhi[:])
+        out = formula(view, a, b)
+        olo[:] = out.lo
+        ohi[:] = out.hi
+
+    @jax.jit
+    def run(a: Array, b: Array) -> Array:
+        shape = a.shape[:-1]
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        with _x32_trace():
+            alo, ahi = _pair_pad(a, padded_total)
+            blo, bhi = _pair_pad(b, padded_total)
+            spec = pl.BlockSpec(
+                (block_rows, _COLS), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_sd = jax.ShapeDtypeStruct(alo.shape, jnp.uint32)
+            lo, hi = pl.pallas_call(
+                kernel,
+                out_shape=(out_sd, out_sd),
+                grid=(rows // block_rows,),
+                in_specs=[spec] * 4,
+                out_specs=(spec, spec),
+                interpret=interpret,
+            )(alo, ahi, blo, bhi)
+            return _pair_trim(lo, hi, total, shape)
+
+    return run
+
+
+def binop_pair(
+    layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
+) -> Callable[[Array, Array], Array]:
+    """Pallas split binop on u64 words carried as (..., 2) u32 pair arrays.
+
+    The x64-free entry point for 64-bit layouts on TPU: pair words are the
+    little-endian bitcast of the u64 word (``pair[..., 0]`` = low half).
+    """
+    if name not in BINOP_NAMES:
+        raise ValueError(f"unknown binop {name!r}")
+    if layout.word_bits != 64:
+        raise ValueError(f"binop_pair is for u64 layouts, got {layout}")
+    if interpret is None:
+        interpret = _default_interpret()
+    return _binop_pair_impl(layout, name, interpret)
+
+
 def binop(
     layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
 ) -> Callable[[Array, Array], Array]:
     """A Pallas-backed binary SWAR op ``(words, words) -> words``.
 
-    Falls back to the jnp path for unsupported word dtypes (u64).
+    u64 layouts run as split 2xu32 kernels (bit-identical to the x64 jnp
+    path); :func:`binop_pair` is the x64-free pair-word entry.
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
     tests run everywhere.
     """
     if name not in BINOP_NAMES:
         raise ValueError(f"unknown binop {name!r}")
-    if not supported(layout):
-        formula = getattr(W, name)
-        return jax.jit(lambda a, b: formula(layout, a, b))
     if interpret is None:
         interpret = _default_interpret()
+    if not _native(layout):
+        pair_fn = _binop_pair_impl(layout, name, interpret)
+
+        @jax.jit
+        def run64(a: Array, b: Array) -> Array:
+            return _from_pair(pair_fn(_to_pair(a), _to_pair(b)))
+
+        return run64
     return _binop_impl(layout, name, interpret)
 
 
@@ -190,6 +298,55 @@ def _shift_impl(layout: PackedLayout, name: str, interpret: bool):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _shift_pair_impl(layout: PackedLayout, name: str, interpret: bool):
+    formula = getattr(W, name)
+    view = S.SplitView(layout)
+
+    def kernel(amt_ref, vlo, vhi, olo, ohi):
+        out = formula(view, S.SplitWord(vlo[:], vhi[:]), amt_ref[0])
+        olo[:] = out.lo
+        ohi[:] = out.hi
+
+    @jax.jit
+    def run(v: Array, amount) -> Array:
+        shape = v.shape[:-1]
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        with _x32_trace():
+            vlo, vhi = _pair_pad(v, padded_total)
+            amt = jnp.asarray(amount, dtype=jnp.int32).reshape(1)
+            spec = pl.BlockSpec(
+                (block_rows, _COLS), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_sd = jax.ShapeDtypeStruct(vlo.shape, jnp.uint32)
+            lo, hi = pl.pallas_call(
+                kernel,
+                out_shape=(out_sd, out_sd),
+                grid=(rows // block_rows,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+                out_specs=(spec, spec),
+                interpret=interpret,
+            )(amt, vlo, vhi)
+            return _pair_trim(lo, hi, total, shape)
+
+    return run
+
+
+def shift_pair(
+    layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
+) -> Callable[[Array, object], Array]:
+    """Pallas split lane-shift on (..., 2) u32 pair words (x64-free u64)."""
+    if name not in SHIFT_NAMES:
+        raise ValueError(f"unknown shift {name!r}")
+    if layout.word_bits != 64:
+        raise ValueError(f"shift_pair is for u64 layouts, got {layout}")
+    if interpret is None:
+        interpret = _default_interpret()
+    return _shift_pair_impl(layout, name, interpret)
+
+
 def shift(
     layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
 ) -> Callable[[Array, object], Array]:
@@ -197,11 +354,16 @@ def shift(
     amount living in SMEM (runtime scalar, branch-free guard intact)."""
     if name not in SHIFT_NAMES:
         raise ValueError(f"unknown shift {name!r}")
-    if not supported(layout):
-        formula = getattr(W, name)
-        return jax.jit(lambda v, a: formula(layout, v, a))
     if interpret is None:
         interpret = _default_interpret()
+    if not _native(layout):
+        pair_fn = _shift_pair_impl(layout, name, interpret)
+
+        @jax.jit
+        def run64(v: Array, amount) -> Array:
+            return _from_pair(pair_fn(_to_pair(v), amount))
+
+        return run64
     return _shift_impl(layout, name, interpret)
 
 
@@ -260,16 +422,59 @@ def saturating_accumulate(
     the Pallas win over op-at-a-time execution: 2+steps HBM streams instead
     of 3*steps.
     """
-    if not supported(layout):
-        formula = W.add_signed_saturate if signed else W.add_unsigned_saturate
-
-        @jax.jit
-        def fallback(acc, deltas):
-            for s in range(steps):
-                acc = formula(layout, acc, deltas[s])
-            return acc
-
-        return fallback
     if interpret is None:
         interpret = _default_interpret()
+    if not _native(layout):
+        return _sat_accum_split_impl(layout, signed, steps, interpret)
     return _sat_accum_impl(layout, signed, steps, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _sat_accum_split_impl(
+    layout: PackedLayout, signed: bool, steps: int, interpret: bool
+):
+    formula = W.add_signed_saturate if signed else W.add_unsigned_saturate
+    view = S.SplitView(layout)
+
+    def kernel(alo, ahi, dlo, dhi, olo, ohi):
+        acc = S.SplitWord(alo[:], ahi[:])
+        for s in range(steps):
+            acc = formula(view, acc, S.SplitWord(dlo[s], dhi[s]))
+        olo[:] = acc.lo
+        ohi[:] = acc.hi
+
+    @jax.jit
+    def run(acc: Array, deltas: Array) -> Array:
+        shape = acc.shape
+        total = int(np.prod(shape)) if shape else 1
+        rows, padded_total, block_rows = _tile_shape(total)
+        acc_pair = _to_pair(acc)
+        delta_pairs = _to_pair(deltas)
+        with _x32_trace():
+            alo, ahi = _pair_pad(acc_pair, padded_total)
+            planes = [
+                _pair_pad(delta_pairs[s], padded_total) for s in range(steps)
+            ]
+            dlo = jnp.stack([p[0] for p in planes])
+            dhi = jnp.stack([p[1] for p in planes])
+            spec = pl.BlockSpec(
+                (block_rows, _COLS), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            dspec = pl.BlockSpec(
+                (steps, block_rows, _COLS), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_sd = jax.ShapeDtypeStruct(alo.shape, jnp.uint32)
+            lo, hi = pl.pallas_call(
+                kernel,
+                out_shape=(out_sd, out_sd),
+                grid=(rows // block_rows,),
+                in_specs=[spec, spec, dspec, dspec],
+                out_specs=(spec, spec),
+                interpret=interpret,
+            )(alo, ahi, dlo, dhi)
+            pair = _pair_trim(lo, hi, total, shape)
+        return _from_pair(pair)
+
+    return run

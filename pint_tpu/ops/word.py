@@ -72,7 +72,16 @@ def _check_x64(layout: PackedLayout) -> None:
 
 
 def _k(layout: PackedLayout, value: int) -> Array:
-    """A mask constant in the layout's word dtype."""
+    """A mask constant in the layout's word dtype.
+
+    A layout exposing ``make_const`` (the u64-as-2xu32
+    :class:`~pint_tpu.ops.split64.SplitView`) materializes the constant in
+    its own word representation instead; every formula below then evaluates
+    unchanged on split operands.
+    """
+    make = getattr(layout, "make_const", None)
+    if make is not None:
+        return make(value)
     _check_x64(layout)
     return jnp.asarray(value & layout.word_ones, dtype=layout.word_dtype)
 
@@ -380,14 +389,19 @@ def _shl_full(x: Array, k: Array) -> Array:
     """Left shift with exact mod-2^w semantics for k in [0, word_bits].
 
     XLA leaves shifts >= bit width undefined; splitting into two shifts keeps
-    k == word_bits exact (result 0) without a branch.
+    k == word_bits exact (result 0) without a branch.  Split words carry
+    their own exact [0, 64] shift (cross-half, branch-free).
     """
+    if hasattr(x, "shl_full"):
+        return x.shl_full(k)
     wb = x.dtype.itemsize * 8
     k1 = jnp.minimum(k, np.array(wb - 1, x.dtype))
     return (x << k1) << (k - k1)
 
 
 def _shr_full(x: Array, k: Array) -> Array:
+    if hasattr(x, "shr_full"):
+        return x.shr_full(k)
     wb = x.dtype.itemsize * 8
     k1 = jnp.minimum(k, np.array(wb - 1, x.dtype))
     return (x >> k1) >> (k - k1)
@@ -416,8 +430,9 @@ def shift_left(layout: PackedLayout, word: Array, amount: Amount) -> Array:
         keep_bits = _sat_to_zero(np.array(layout.widths[0], layout.word_dtype) - amt)
         keep = _shl_full(lo, keep_bits) - lo
     else:
-        # per-width mask collection (pint.hpp:630-658)
-        keep = jnp.zeros_like(word)
+        # per-width mask collection (pint.hpp:630-658); word ^ word is a
+        # representation-agnostic zero (works for split words too)
+        keep = word ^ word
         for w, mask_w in layout.width_groups:
             mw = _k(layout, mask_w)
             kb = _sat_to_zero(np.array(w, layout.word_dtype) - amt)
@@ -438,7 +453,7 @@ def shift_right_unsigned(
         clear = _shl_full(lo, amt) - lo
     else:
         # (pint.hpp:670-695); min(width, amount) is branch-free find_min
-        clear = jnp.zeros_like(word)
+        clear = word ^ word
         for w, mask_w in layout.width_groups:
             mw = _k(layout, mask_w)
             wv = np.array(w, layout.word_dtype)

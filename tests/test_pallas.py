@@ -59,9 +59,11 @@ def test_pallas_2d_shapes(layout):
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
 
 
-def test_u64_fallback():
+def test_u64_split_kernel():
+    """u64 layouts run as split 2xu32 Pallas kernels (tests/test_split64.py
+    has the full matrix; this is the smoke check in the main parity suite)."""
     layout = PackedLayout(*([8] * 8))
-    assert not P.supported(layout)
+    assert P.supported(layout)
     a = _rand(layout, (64,), 5)
     b = _rand(layout, (64,), 6)
     expected = W.add_unsigned_saturate(layout, a, b)

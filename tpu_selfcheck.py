@@ -122,6 +122,47 @@ def main() -> None:
         bool(np.abs(got - expected).max() <= tol),
     )
 
+    # 5. u64 split (2xu32) Pallas kernels -- native Mosaic compile, via the
+    # x64-free pair-word entry (the TPU production path: no jax_enable_x64).
+    # The per-lane oracle runs in numpy, so exactness is still end-to-end.
+    for widths in [(8,) * 8, (20, 20, 24)]:
+        lay64 = PackedLayout(*widths)
+        oracle64 = Oracle(lay64)
+        rng64 = np.random.default_rng(11)
+        aw = rng64.integers(0, 2**64 - 1, 4096, dtype=np.uint64, endpoint=True)
+        bw = rng64.integers(0, 2**64 - 1, 4096, dtype=np.uint64, endpoint=True)
+        aw &= np.uint64(lay64.used_mask)
+        bw &= np.uint64(lay64.used_mask)
+        # little-endian pair words: [..., 0]=low half (matches u64 bitcast)
+        ap = jnp.asarray(
+            np.stack([aw & 0xFFFFFFFF, aw >> np.uint64(32)], -1).astype(
+                np.uint32
+            )
+        )
+        bp = jnp.asarray(
+            np.stack([bw & 0xFFFFFFFF, bw >> np.uint64(32)], -1).astype(
+                np.uint32
+            )
+        )
+
+        def _merge(pair):
+            p = np.asarray(pair).astype(np.uint64)
+            return p[..., 0] | (p[..., 1] << np.uint64(32))
+
+        for op in ("add_unsigned_saturate", "sub_signed_saturate", "max_signed"):
+            got = _merge(P.binop_pair(lay64, op, interpret=False)(ap, bp))
+            exp = getattr(oracle64, op)(aw, bw) & np.uint64(lay64.word_ones)
+            check(f"pallas u64-pair {op} {widths}", bool((got == exp).all()))
+        for amount in (0, 7, 33, 64):
+            got = _merge(
+                P.shift_pair(lay64, "shift_left", interpret=False)(ap, amount)
+            )
+            exp = oracle64.shift_left(aw, amount) & np.uint64(lay64.word_ones)
+            check(
+                f"pallas u64-pair shift_left({amount}) {widths}",
+                bool((got == exp).all()),
+            )
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
