@@ -193,6 +193,14 @@ def _sin_turns_f64(theta_turns: np.ndarray) -> np.ndarray:
     return np.where(t >= 0.5, -val, val)
 
 
+def _dsin_turns_f64(theta_turns: np.ndarray) -> np.ndarray:
+    """d/dtheta of :func:`_sin_turns_f64` (piecewise-linear, f64)."""
+    t = np.mod(theta_turns, 1.0)
+    half = np.mod(t, 0.5)
+    dval = 16.0 * (0.5 - 2.0 * half)
+    return np.where(t >= 0.5, -dval, dval)
+
+
 def _sin_turns_f32(theta_turns: Array) -> Array:
     """Differentiable jnp twin of the quadratic sine (same parabola).
 
@@ -329,6 +337,42 @@ class Unicycle:
             th = th + w * dt
             out[..., k + 1, 0], out[..., k + 1, 1], out[..., k + 1, 2] = x, y, th
         return out
+
+    # -- linearization (the LTV/SQP inner-QP ingredient) ---------------------
+
+    def linearize(
+        self, states_f: np.ndarray, controls_f: np.ndarray
+    ) -> tuple:
+        """Jacobians of the float64 discrete map at (states_f, controls_f).
+
+        states_f (..., 3) [x, y, theta-in-turns] and controls_f (..., 2)
+        [v, w], physical units.  Returns (A, B) with A (..., 3, 3) and
+        B (..., 3, 2) -- the exact derivatives of
+        :meth:`reference_rollout`'s step (including the quadratic trig), so
+        an LTV condensation built from them is the true local model of the
+        reference dynamics, not of an idealized smooth twin.
+        """
+        states_f = np.asarray(states_f, np.float64)
+        controls_f = np.asarray(controls_f, np.float64)
+        th = states_f[..., 2]
+        v = controls_f[..., 0]
+        dt = self.dt
+        cos_q = _sin_turns_f64(th + 0.25)
+        sin_q = _sin_turns_f64(th)
+        dcos = _dsin_turns_f64(th + 0.25)
+        dsin = _dsin_turns_f64(th)
+        batch = states_f.shape[:-1]
+        A = np.zeros(batch + (3, 3))
+        A[..., 0, 0] = 1.0
+        A[..., 1, 1] = 1.0
+        A[..., 2, 2] = 1.0
+        A[..., 0, 2] = v * dcos * dt
+        A[..., 1, 2] = v * dsin * dt
+        B = np.zeros(batch + (3, 2))
+        B[..., 0, 0] = cos_q * dt
+        B[..., 1, 0] = sin_q * dt
+        B[..., 2, 1] = dt
+        return A, B
 
     def to_fixed_xy(self, x: np.ndarray) -> np.ndarray:
         return np.round(np.asarray(x) * 2.0**self.frac_bits).astype(np.int32)

@@ -3,11 +3,13 @@ from pint_tpu.mpc.condensed import (
     QuantizedQP,
     condense_double_integrator,
     condense_lti,
+    condense_ltv,
     quantize,
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
 from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
 from pint_tpu.mpc.fused import FusedPGD
+from pint_tpu.mpc.ltv import QuantizedSQP
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
 from pint_tpu.mpc.nonlinear import QuantizedNonlinearPGD
 from pint_tpu.mpc.solver import FixedPointPGD
@@ -17,6 +19,7 @@ __all__ = [
     "QuantizedQP",
     "condense_double_integrator",
     "condense_lti",
+    "condense_ltv",
     "quantize",
     "FixedPointPGD",
     "AcceleratedPGD",
@@ -25,5 +28,6 @@ __all__ = [
     "LTIController",
     "QuantizedMPPI",
     "QuantizedNonlinearPGD",
+    "QuantizedSQP",
     "unicycle_goal_cost",
 ]

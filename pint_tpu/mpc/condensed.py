@@ -32,7 +32,14 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["CondensedQP", "QuantizedQP", "condense_lti", "condense_double_integrator", "quantize"]
+__all__ = [
+    "CondensedQP",
+    "QuantizedQP",
+    "condense_lti",
+    "condense_ltv",
+    "condense_double_integrator",
+    "quantize",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +164,71 @@ def condense_lti(
 
 # backward-compatible private alias
 _condense = condense_lti
+
+
+def condense_ltv(
+    A_seq: np.ndarray,
+    B_seq: np.ndarray,
+    c_seq: Optional[np.ndarray],
+    Q: np.ndarray,
+    R,
+    Qf: np.ndarray,
+    x_ref,
+    u_max: float,
+) -> CondensedQP:
+    """Condense a box-constrained **time-varying affine** MPC problem.
+
+    x_{k+1} = A_k x_k + B_k u_k + c_k with A_seq (T, n, n), B_seq (T, n, m),
+    c_seq (T, n) or None; cost sum_k (x_{k+1} - x_ref_k)^T Q (...) +
+    u_k^T R u_k with terminal Qf; x_ref is (n,) or (T, n) (per-step targets
+    for x_1..x_T).  This is the SQP inner problem: A/B/c come from
+    linearizing nonlinear dynamics along a nominal trajectory in **absolute**
+    controls (c_k = f(xbar_k, ubar_k) - A_k xbar_k - B_k ubar_k), which keeps
+    the box symmetric -- |u| <= u_max maps onto int8 lane saturation exactly
+    as in the LTI path.
+
+    Propagation is the forward recursion
+    Abar_k = A_k Abar_{k-1}, Bbar_k = A_k Bbar_{k-1} + [0..B_k..0],
+    Cbar_k = A_k Cbar_{k-1} + c_k; with constant A, B and c = 0 this agrees
+    with :func:`condense_lti` (tests/test_ltv.py checks it numerically).
+    """
+    A_seq = np.asarray(A_seq, float)
+    B_seq = np.asarray(B_seq, float)
+    T, n, m = B_seq.shape
+    if A_seq.shape != (T, n, n):
+        raise ValueError(f"A_seq {A_seq.shape} vs B_seq {B_seq.shape}")
+    c_seq = (
+        np.zeros((T, n)) if c_seq is None else np.asarray(c_seq, float)
+    )
+    x_ref = np.asarray(x_ref, float)
+    x_ref_seq = np.broadcast_to(x_ref, (T, n)) if x_ref.ndim == 1 else x_ref
+    R = np.eye(m) * R if np.isscalar(R) else np.asarray(R, float)
+
+    Abar = np.empty((T, n, n))
+    Bbar = np.zeros((T, n, T * m))
+    Cbar = np.empty((T, n))
+    Ak_prod = np.eye(n)
+    c_acc = np.zeros(n)
+    for k in range(T):
+        Ak_prod = A_seq[k] @ Ak_prod
+        Abar[k] = Ak_prod
+        if k:
+            Bbar[k] = A_seq[k] @ Bbar[k - 1]
+        Bbar[k, :, k * m : (k + 1) * m] = B_seq[k]
+        c_acc = A_seq[k] @ c_acc + c_seq[k]
+        Cbar[k] = c_acc
+
+    Qs = [Q] * (T - 1) + [Qf]
+    H = np.kron(np.eye(T), R)
+    Gg = np.zeros((T * m, n))
+    g_ref = np.zeros(T * m)
+    for k in range(T):
+        BtQ = Bbar[k].T @ Qs[k]
+        H += BtQ @ Bbar[k]
+        Gg += BtQ @ Abar[k]
+        g_ref += BtQ @ (Cbar[k] - x_ref_seq[k])
+    lip = float(np.linalg.eigvalsh(H).max())
+    return CondensedQP(H=H, G=Gg, g_ref=g_ref, u_max=u_max, lipschitz=lip)
 
 
 def condense_double_integrator(

@@ -1,0 +1,295 @@
+"""Quantized LTV/SQP MPC: second-order nonlinear planning on packed int8 plans.
+
+The sequential-quadratic-programming complement to the first-order
+:mod:`pint_tpu.mpc.nonlinear` solver.  Each outer (SQP) iteration:
+
+1. rolls the current plan through the float64 reference dynamics (host),
+2. linearizes the *exact* discrete map along that trajectory
+   (:meth:`Unicycle.linearize` -- true Jacobians of the quadratic-trig map),
+3. condenses the resulting time-varying affine QP in **absolute controls**
+   (:func:`pint_tpu.mpc.condensed.condense_ltv`), so the control box stays
+   symmetric and maps onto int8 lane saturation exactly as in the LTI path,
+4. quantizes (per problem) and solves the QP **on device** with the same
+   fixed-point PGD iteration as :class:`FixedPointPGD` -- int8 MXU matmul +
+   saturating packed updates -- warm-started from the current packed plan.
+
+Because every problem in the batch linearizes around its own trajectory,
+the Hessian is per-problem: the device kernel is a *batched* int8
+``dot_general`` (B, Tp) x (B, Tp, Tp) with per-problem int32 step rationals
+(hs_num, hs_den) carried as runtime operands.  One XLA program serves all
+SQP iterations (the operands change, the shapes don't), so outer iterations
+cost zero recompiles -- the real-time-iteration property.
+
+Decision units: the QP decision vector IS the int8 lane value (per-channel
+physical scales are folded into the B columns and R), so u_max = 127 and
+lane saturation is the exact box projection.
+
+No counterpart in the reference library (SURVEY.md section 2.4): this is
+BASELINE.json capability layer.  The packed-word machinery it exercises:
+add_signed_saturate (pint.hpp:857-866), max_signed (pint.hpp:987-1004),
+pack/unpack (pint.hpp:390-407, 799-822).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pint_tpu.models.dynamics import (
+    CONTROL_LAYOUT,
+    Unicycle,
+    pack_controls,
+    unpack_controls,
+)
+from pint_tpu.mpc.condensed import condense_ltv, quantize
+from pint_tpu.ops import word as W
+
+Array = jax.Array
+
+__all__ = ["QuantizedSQP"]
+
+
+def _lower_words() -> np.uint32:
+    w = 0
+    for off in CONTROL_LAYOUT.offsets:
+        w |= (-127 & 0xFF) << off
+    return np.uint32(w)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "g_shift"))
+def _pgd_batched_h(
+    u_words: Array,   # (B, Tp/4) uint32 packed int8 lanes
+    g_pre: Array,     # (B, Tp) int32 pre-shift lane units
+    Hq: Array,        # (B, Tp, Tp) int8 per-problem quantized Hessian
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,    # (B,) int32
+    *,
+    iters: int,
+    g_shift: int,
+) -> Array:
+    """Fixed-point PGD with a per-problem Hessian (the SQP inner solve).
+
+    Identical iteration to FixedPointPGD._iterate_ef except the matmul is
+    batched over problems and the step rational is a runtime operand.
+    Error feedback is always on here: SQP progress near convergence (and in
+    weakly-weighted directions like heading) rides on sub-lane step
+    components, which plain rounding would freeze at the first iterate.
+    """
+    lower = jnp.full((1,), _lower_words(), jnp.uint32)
+    half = np.int32(1 << (g_shift - 1))
+
+    def body(_, state):
+        words, carry = state
+        lanes = unpack_controls(words)  # (B, Tp) int32
+        acc = jax.lax.dot_general(
+            lanes.astype(jnp.int8),
+            Hq,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (B, Tp) = sum_t U_t Hq[s, t]
+        pre = (acc * hs_num[:, None]) >> hs_den[:, None]
+        step = -(pre + g_pre) + carry
+        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+        carry = step - (delta << np.int32(g_shift))
+        words = W.add_signed_saturate(
+            CONTROL_LAYOUT, words, pack_controls(delta)
+        )
+        words = W.max_signed(
+            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
+        )
+        return words, carry
+
+    carry0 = jnp.zeros(g_pre.shape, jnp.int32)
+    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
+    return words
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedSQP:
+    """SQP trajectory optimizer for the unicycle on packed int8 plans.
+
+    Cost: sum_{k=1..T} (x_k - x_ref_k)^T Q (x_k - x_ref_k) (terminal Qf at
+    x_T) + sum_k u_k^T R u_k with u in physical units and the per-channel
+    box |v| <= 127 v_scale, |w| <= 127 w_scale (the int8 lane range).
+    """
+
+    model: Unicycle = Unicycle()
+    horizon: int = 48
+    Q: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.diag([1.0, 1.0, 0.02])
+    )
+    R: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.diag([0.02, 0.02])
+    )
+    qf_scale: float = 20.0
+    x_ref: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    sqp_iters: int = 6
+    pgd_iters: int = 40
+    g_shift: int = 12
+    pad_to: int = 64
+
+    def __post_init__(self):
+        if self.horizon % 2:
+            raise ValueError("horizon must be even (2 lanes per (v,w) word)")
+
+    # -- geometry -------------------------------------------------------------
+
+    @functools.cached_property
+    def _lane_scales(self) -> np.ndarray:
+        return np.array([self.model.v_scale, self.model.w_scale])
+
+    @property
+    def n_dec(self) -> int:
+        return 2 * self.horizon
+
+    @functools.cached_property
+    def padded(self) -> int:
+        return -(-self.n_dec // self.pad_to) * self.pad_to
+
+    def init_words(self, batch: int) -> Array:
+        return jnp.zeros((batch, self.padded // 4), jnp.uint32)
+
+    # -- the SQP inner QP for one problem --------------------------------------
+
+    def _condense_one(
+        self, x0_f: np.ndarray, lanes: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+        """One linearize+condense+quantize pass (host, float64).
+
+        Returns (Hq (Tp, Tp) int8, g_pre (Tp,) int32, hs_num, hs_den)."""
+        T = self.horizon
+        s = self._lane_scales
+        u_phys = lanes.reshape(T, 2) * s
+        traj = self.model.reference_rollout(x0_f, u_phys)  # (T+1, 3)
+        A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
+        # affine drift of the exact map around the nominal
+        c_seq = (
+            traj[1:]
+            - np.einsum("kij,kj->ki", A_seq, traj[:-1])
+            - np.einsum("kij,kj->ki", B_seq, u_phys)
+        )
+        # decision = lane values: fold channel scales into B and R
+        B_lane = B_seq * s          # (T, 3, 2) columns scaled
+        R_lane = s[:, None] * np.asarray(self.R) * s[None, :]
+        qp = condense_ltv(
+            A_seq,
+            B_lane,
+            c_seq,
+            np.asarray(self.Q),
+            R_lane,
+            self.qf_scale * np.asarray(self.Q),
+            self.x_ref,
+            u_max=127.0,
+        )
+        qqp = quantize(qp, g_shift=self.g_shift, pad_to=self.pad_to)
+        g_pre = qqp.g_lane_fixed(x0_f[None, :])[0]  # (Tp,) int32
+        return qqp.Hq, g_pre, qqp.hs_num, qqp.hs_den
+
+    # -- public API -------------------------------------------------------------
+
+    def solve(
+        self,
+        x0_f: np.ndarray,            # (B, 3) float64 physical (theta turns)
+        u_words: Optional[Array] = None,
+    ) -> Tuple[Array, np.ndarray]:
+        """Run ``sqp_iters`` outer iterations.
+
+        Returns (packed words (B, Tp/4), cost history (B, sqp_iters+1) of the
+        true nonlinear objective).  Deterministic: same inputs, same words.
+        """
+        x0_f = np.atleast_2d(np.asarray(x0_f, np.float64))
+        batch = x0_f.shape[0]
+        if u_words is None:
+            u_words = self.init_words(batch)
+        costs = [self.true_cost(x0_f, self.lanes(u_words))]
+        for _ in range(self.sqp_iters):
+            lanes = self.lanes(u_words)  # (B, 2T) host int32
+            ops = [
+                self._condense_one(x0_f[i], lanes[i]) for i in range(batch)
+            ]
+            Hq = jnp.asarray(np.stack([o[0] for o in ops]))
+            g_pre = jnp.asarray(np.stack([o[1] for o in ops]))
+            hs_num = jnp.asarray(
+                np.array([o[2] for o in ops], np.int32)
+            )
+            hs_den = jnp.asarray(
+                np.array([o[3] for o in ops], np.int32)
+            )
+            u_words = _pgd_batched_h(
+                u_words, g_pre, Hq, hs_num, hs_den,
+                iters=self.pgd_iters, g_shift=self.g_shift,
+            )
+            costs.append(self.true_cost(x0_f, self.lanes(u_words)))
+        return u_words, np.stack(costs, axis=-1)
+
+    def lanes(self, u_words: Array) -> np.ndarray:
+        """(B, 2T) int32 lane plan (drops the QP padding)."""
+        return np.asarray(unpack_controls(u_words))[:, : self.n_dec]
+
+    def plan_phys(self, u_words: Array) -> np.ndarray:
+        """(B, T, 2) physical (v, w) sequences."""
+        lanes = self.lanes(u_words)
+        return lanes.reshape(lanes.shape[0], self.horizon, 2) * self._lane_scales
+
+    # -- diagnostics ---------------------------------------------------------
+
+    def true_cost(self, x0_f: np.ndarray, lanes: np.ndarray) -> np.ndarray:
+        """The actual nonlinear objective of a lane plan (float64 rollout)."""
+        T = self.horizon
+        u_phys = lanes.reshape(-1, T, 2) * self._lane_scales
+        traj = self.model.reference_rollout(np.atleast_2d(x0_f), u_phys)
+        x_ref = np.broadcast_to(np.asarray(self.x_ref, float), (T, 3))
+        dx = traj[:, 1:] - x_ref
+        Qs = np.stack([np.asarray(self.Q)] * (T - 1) + [self.qf_scale * np.asarray(self.Q)])
+        state_cost = np.einsum("bki,kij,bkj->b", dx, Qs, dx)
+        ctrl_cost = np.einsum("bki,ij,bkj->b", u_phys, np.asarray(self.R), u_phys)
+        return state_cost + ctrl_cost
+
+    # -- float64 reference (same algorithm, no quantization) -----------------
+
+    def reference_solve(
+        self, x0_f: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Float64 SQP with the same linearize/condense/PGD structure.
+
+        The oracle the quantized path is toleranced against: identical
+        iteration counts and step rule, arithmetic in float64, box in lane
+        units.  Returns (lane-valued plans (B, 2T) float64, cost history).
+        """
+        x0_f = np.atleast_2d(np.asarray(x0_f, np.float64))
+        batch = x0_f.shape[0]
+        T = self.horizon
+        s = self._lane_scales
+        U = np.zeros((batch, 2 * T))
+        costs = [self.true_cost(x0_f, U)]
+        for _ in range(self.sqp_iters):
+            for i in range(batch):
+                u_phys = U[i].reshape(T, 2) * s
+                traj = self.model.reference_rollout(x0_f[i], u_phys)
+                A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
+                c_seq = (
+                    traj[1:]
+                    - np.einsum("kij,kj->ki", A_seq, traj[:-1])
+                    - np.einsum("kij,kj->ki", B_seq, u_phys)
+                )
+                qp = condense_ltv(
+                    A_seq, B_seq * s, c_seq, np.asarray(self.Q),
+                    s[:, None] * np.asarray(self.R) * s[None, :],
+                    self.qf_scale * np.asarray(self.Q),
+                    self.x_ref, u_max=127.0,
+                )
+                g = qp.G @ x0_f[i] + qp.g_ref
+                alpha = 1.0 / qp.lipschitz
+                u = U[i].copy()
+                for _ in range(self.pgd_iters):
+                    u = np.clip(u - alpha * (qp.H @ u + g), -127.0, 127.0)
+                U[i] = u
+            costs.append(self.true_cost(x0_f, U))
+        return U, np.stack(costs, axis=-1)
