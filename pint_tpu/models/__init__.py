@@ -6,12 +6,14 @@ from pint_tpu.models.dynamics import (
     pack_controls,
     unpack_controls,
 )
+from pint_tpu.models.pendulum import Pendulum
 
 __all__ = [
     "CONTROL_LAYOUT",
     "DoubleIntegrator",
     "Unicycle",
     "PlanarQuadrotor",
+    "Pendulum",
     "pack_controls",
     "unpack_controls",
 ]

@@ -253,6 +253,12 @@ class Unicycle:
     def w_scale(self) -> float:
         return 2.0 ** (self.w_shift - self.frac_bits)
 
+    @property
+    def lane_scales(self) -> np.ndarray:
+        """(2,) physical units per int8 lane for (v, w) -- the generic-model
+        hook the LTV/SQP solver consumes."""
+        return np.array([self.v_scale, self.w_scale])
+
     def step(self, state: Array, v_lane: Array, w_lane: Array) -> Array:
         x, y, th = state[..., 0], state[..., 1], state[..., 2]
         v_fp = v_lane << self.v_shift                  # Q16

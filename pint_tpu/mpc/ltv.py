@@ -111,14 +111,17 @@ def _pgd_batched_h(
 
 @dataclasses.dataclass(frozen=True)
 class QuantizedSQP:
-    """SQP trajectory optimizer for the unicycle on packed int8 plans.
+    """SQP trajectory optimizer on packed int8 plans, for any model exposing
+    ``reference_rollout(x0, u_phys)``, ``linearize(states, controls)`` and
+    ``lane_scales`` (Unicycle, Pendulum, ...).
 
     Cost: sum_{k=1..T} (x_k - x_ref_k)^T Q (x_k - x_ref_k) (terminal Qf at
     x_T) + sum_k u_k^T R u_k with u in physical units and the per-channel
-    box |v| <= 127 v_scale, |w| <= 127 w_scale (the int8 lane range).
+    box |u_c| <= 127 * lane_scales[c] (the int8 lane range).  Q and R must
+    match the model's state/control dims (defaults fit the unicycle).
     """
 
-    model: Unicycle = Unicycle()
+    model: object = dataclasses.field(default_factory=Unicycle)
     horizon: int = 48
     Q: np.ndarray = dataclasses.field(
         default_factory=lambda: np.diag([1.0, 1.0, 0.02])
@@ -136,18 +139,22 @@ class QuantizedSQP:
     pad_to: int = 64
 
     def __post_init__(self):
-        if self.horizon % 2:
-            raise ValueError("horizon must be even (2 lanes per (v,w) word)")
+        if self.pad_to % 4 or self.pad_to < 4:
+            raise ValueError("pad_to must be a positive multiple of 4 lanes")
 
     # -- geometry -------------------------------------------------------------
 
     @functools.cached_property
     def _lane_scales(self) -> np.ndarray:
-        return np.array([self.model.v_scale, self.model.w_scale])
+        return np.asarray(self.model.lane_scales, np.float64)
+
+    @property
+    def n_ctrl(self) -> int:
+        return len(self._lane_scales)
 
     @property
     def n_dec(self) -> int:
-        return 2 * self.horizon
+        return self.n_ctrl * self.horizon
 
     @functools.cached_property
     def padded(self) -> int:
@@ -166,7 +173,7 @@ class QuantizedSQP:
         Returns (Hq (Tp, Tp) int8, g_pre (Tp,) int32, hs_num, hs_den)."""
         T = self.horizon
         s = self._lane_scales
-        u_phys = lanes.reshape(T, 2) * s
+        u_phys = lanes.reshape(T, self.n_ctrl) * s
         traj = self.model.reference_rollout(x0_f, u_phys)  # (T+1, 3)
         A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
         # affine drift of the exact map around the nominal
@@ -176,7 +183,7 @@ class QuantizedSQP:
             - np.einsum("kij,kj->ki", B_seq, u_phys)
         )
         # decision = lane values: fold channel scales into B and R
-        B_lane = B_seq * s          # (T, 3, 2) columns scaled
+        B_lane = B_seq * s          # (T, n, m) columns scaled
         R_lane = s[:, None] * np.asarray(self.R) * s[None, :]
         qp = condense_ltv(
             A_seq,
@@ -234,18 +241,22 @@ class QuantizedSQP:
         return np.asarray(unpack_controls(u_words))[:, : self.n_dec]
 
     def plan_phys(self, u_words: Array) -> np.ndarray:
-        """(B, T, 2) physical (v, w) sequences."""
+        """(B, T, m) physical control sequences."""
         lanes = self.lanes(u_words)
-        return lanes.reshape(lanes.shape[0], self.horizon, 2) * self._lane_scales
+        return (
+            lanes.reshape(lanes.shape[0], self.horizon, self.n_ctrl)
+            * self._lane_scales
+        )
 
     # -- diagnostics ---------------------------------------------------------
 
     def true_cost(self, x0_f: np.ndarray, lanes: np.ndarray) -> np.ndarray:
         """The actual nonlinear objective of a lane plan (float64 rollout)."""
         T = self.horizon
-        u_phys = lanes.reshape(-1, T, 2) * self._lane_scales
+        u_phys = lanes.reshape(-1, T, self.n_ctrl) * self._lane_scales
         traj = self.model.reference_rollout(np.atleast_2d(x0_f), u_phys)
-        x_ref = np.broadcast_to(np.asarray(self.x_ref, float), (T, 3))
+        n = traj.shape[-1]
+        x_ref = np.broadcast_to(np.asarray(self.x_ref, float), (T, n))
         dx = traj[:, 1:] - x_ref
         Qs = np.stack([np.asarray(self.Q)] * (T - 1) + [self.qf_scale * np.asarray(self.Q)])
         state_cost = np.einsum("bki,kij,bkj->b", dx, Qs, dx)
@@ -267,11 +278,11 @@ class QuantizedSQP:
         batch = x0_f.shape[0]
         T = self.horizon
         s = self._lane_scales
-        U = np.zeros((batch, 2 * T))
+        U = np.zeros((batch, self.n_dec))
         costs = [self.true_cost(x0_f, U)]
         for _ in range(self.sqp_iters):
             for i in range(batch):
-                u_phys = U[i].reshape(T, 2) * s
+                u_phys = U[i].reshape(T, self.n_ctrl) * s
                 traj = self.model.reference_rollout(x0_f[i], u_phys)
                 A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
                 c_seq = (
