@@ -163,6 +163,26 @@ class QuantizedSQP:
     def init_words(self, batch: int) -> Array:
         return jnp.zeros((batch, self.padded // 4), jnp.uint32)
 
+    def _check_dims(self, n: int) -> None:
+        """Validate Q/R/x_ref against the model's state dim ``n`` (known
+        only after the first rollout) and the control channel count."""
+        m, T = self.n_ctrl, self.horizon
+        if np.asarray(self.Q).shape != (n, n):
+            raise ValueError(
+                f"Q has shape {np.asarray(self.Q).shape}; the model's "
+                f"state dim is {n}"
+            )
+        if np.asarray(self.R).shape != (m, m):
+            raise ValueError(
+                f"R has shape {np.asarray(self.R).shape}; the model has "
+                f"{m} control channel(s)"
+            )
+        xr = np.asarray(self.x_ref, float)
+        if xr.shape not in ((n,), (T, n)):
+            raise ValueError(
+                f"x_ref has shape {xr.shape}; expected ({n},) or ({T}, {n})"
+            )
+
     # -- the SQP inner QP for one problem --------------------------------------
 
     def _condense_one(
@@ -174,7 +194,8 @@ class QuantizedSQP:
         T = self.horizon
         s = self._lane_scales
         u_phys = lanes.reshape(T, self.n_ctrl) * s
-        traj = self.model.reference_rollout(x0_f, u_phys)  # (T+1, 3)
+        traj = self.model.reference_rollout(x0_f, u_phys)  # (T+1, n)
+        self._check_dims(traj.shape[-1])
         A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
         # affine drift of the exact map around the nominal
         c_seq = (
@@ -215,6 +236,13 @@ class QuantizedSQP:
         batch = x0_f.shape[0]
         if u_words is None:
             u_words = self.init_words(batch)
+        elif u_words.shape != (batch, self.padded // 4):
+            raise ValueError(
+                f"u_words has shape {u_words.shape}; expected "
+                f"({batch}, {self.padded // 4}) packed words for horizon "
+                f"{self.horizon} x {self.n_ctrl} channel(s) padded to "
+                f"{self.padded} lanes"
+            )
         costs = [self.true_cost(x0_f, self.lanes(u_words))]
         for _ in range(self.sqp_iters):
             lanes = self.lanes(u_words)  # (B, 2T) host int32
@@ -256,6 +284,7 @@ class QuantizedSQP:
         u_phys = lanes.reshape(-1, T, self.n_ctrl) * self._lane_scales
         traj = self.model.reference_rollout(np.atleast_2d(x0_f), u_phys)
         n = traj.shape[-1]
+        self._check_dims(n)
         x_ref = np.broadcast_to(np.asarray(self.x_ref, float), (T, n))
         dx = traj[:, 1:] - x_ref
         Qs = np.stack([np.asarray(self.Q)] * (T - 1) + [self.qf_scale * np.asarray(self.Q)])
