@@ -177,6 +177,65 @@ def bench_width_sweep(overhead) -> dict:
     return out
 
 
+def bench_u64_family(overhead, n: int = N_WORDS // 2) -> dict:
+    """u64 word throughput, three ways (the reference's uint64 8x8 config,
+    pint_bench.cpp:468-485):
+
+    * ``xla_emulated``: uint64 arrays through the word.py formulas (XLA
+      expands each 64-bit op into 32-bit pairs internally; needs x64),
+    * ``xla_split``: the SplitWord half-pair evaluation of the same
+      formulas, jitted as plain XLA on u32 arrays (no x64 anywhere),
+    * ``pallas_split``: the split kernel via the pair-word entry.
+
+    Returns G lane-ops/s for add_unsigned_saturate on <8 x 8x8>.
+    x64 is flipped on only inside the emulated measurement and restored.
+    """
+    from pint_tpu.ops import pallas as P
+    from pint_tpu.ops import split64 as S
+
+    lay = PackedLayout(*([8] * 8))
+    rng = np.random.default_rng(7)
+    lo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    hi = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    ap = jnp.asarray(np.stack([lo, hi], axis=0))      # planar (2, n)
+    bp = jnp.asarray(np.stack([hi ^ lo, lo | np.uint32(1)], axis=0))
+    out = {}
+    view = S.SplitView(lay)
+
+    def xla_split(x, y):
+        r = W.add_unsigned_saturate(
+            view,
+            S.SplitWord(x[0], x[1]),
+            S.SplitWord(y[0], y[1]),
+        )
+        return jnp.stack([r.lo, r.hi], axis=0)
+
+    sec = time_chained(xla_split, ap, bp, inner=INNER, overhead=overhead)
+    out["addsat_u8x8_u64_xla_split_Glanes_per_s"] = n * 8 / sec / 1e9
+
+    pallas_fn = P.binop_pair(lay, "add_unsigned_saturate", interpret=False)
+    sec = time_chained(pallas_fn, ap, bp, inner=INNER, overhead=overhead)
+    out["addsat_u8x8_u64_pallas_split_Glanes_per_s"] = n * 8 / sec / 1e9
+
+    try:
+        jax.config.update("jax_enable_x64", True)
+        a64 = jnp.asarray(
+            lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        )
+        b64 = jnp.asarray(
+            (hi ^ lo).astype(np.uint64)
+            | ((lo | np.uint32(1)).astype(np.uint64) << np.uint64(32))
+        )
+        sec = time_chained(
+            lambda x, y: W.add_unsigned_saturate(lay, x, y),
+            a64, b64, inner=INNER, overhead=overhead,
+        )
+        out["addsat_u8x8_u64_xla_emulated_Glanes_per_s"] = n * 8 / sec / 1e9
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    return out
+
+
 def bench_unpacked_comparator(overhead, n_items: int):
     """The reference-bench-style comparator: per-field processing without
     SWAR (the TPU analog of the 'bitfield union + clamp' baselines,
@@ -260,6 +319,10 @@ def main() -> None:
     if "--sweep" in sys.argv:
         results["width_sweep"] = bench_width_sweep(overhead)
         results["vpu_int32_Tops_per_s"] = bench_vpu_ops(overhead) / 1e12
+        try:
+            results["u64_family"] = bench_u64_family(overhead)
+        except Exception as e:
+            results["u64_family_error"] = repr(e)
 
         # unicycle rollouts (fixed-point trig path)
         from pint_tpu.models import Unicycle, pack_controls
@@ -276,11 +339,13 @@ def main() -> None:
             states = uni.rollout_packed(state0, w)
             return states[..., -1, :] + (jnp.sum(states, axis=-2) & 1)
 
+        # the ~35ms sync overhead dwarfs a short chain; 1024 iterations of
+        # the ~30us rollout keep the timed region ~30x the overhead
         sec = time_chained(
             uni_step,
             jnp.zeros((batch, 3), jnp.int32),
             words,
-            inner=128,
+            inner=1024,
             reps=3,
             overhead=overhead,
         )

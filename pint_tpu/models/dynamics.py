@@ -386,6 +386,28 @@ class Unicycle:
     def to_fixed_theta(self, t: np.ndarray) -> np.ndarray:
         return np.round(np.asarray(t) * 2.0**16).astype(np.int32)
 
+    def to_fixed(self, state_f: np.ndarray) -> np.ndarray:
+        """Whole-state (..., 3) conversion (xy Q`frac_bits`, theta Q16)."""
+        state_f = np.asarray(state_f, np.float64)
+        return np.concatenate(
+            [
+                self.to_fixed_xy(state_f[..., :2]),
+                self.to_fixed_theta(state_f[..., 2:]),
+            ],
+            axis=-1,
+        )
+
+    def to_float(self, state_fp) -> np.ndarray:
+        """Whole-state inverse of :meth:`to_fixed`."""
+        state_fp = np.asarray(state_fp)
+        return np.concatenate(
+            [
+                self.to_float_xy(state_fp[..., :2]),
+                self.to_float_theta(state_fp[..., 2:]),
+            ],
+            axis=-1,
+        )
+
     def to_float_xy(self, x) -> np.ndarray:
         return np.asarray(x, dtype=np.float64) * 2.0**-self.frac_bits
 

@@ -9,7 +9,7 @@ from pint_tpu.mpc.condensed import (
 from pint_tpu.mpc.accelerated import AcceleratedPGD
 from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
 from pint_tpu.mpc.fused import FusedPGD
-from pint_tpu.mpc.ltv import QuantizedSQP
+from pint_tpu.mpc.ltv import QuantizedSQP, SQPController
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
 from pint_tpu.mpc.nonlinear import QuantizedNonlinearPGD
 from pint_tpu.mpc.solver import FixedPointPGD
@@ -29,5 +29,6 @@ __all__ = [
     "QuantizedMPPI",
     "QuantizedNonlinearPGD",
     "QuantizedSQP",
+    "SQPController",
     "unicycle_goal_cost",
 ]

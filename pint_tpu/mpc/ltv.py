@@ -51,7 +51,7 @@ from pint_tpu.ops import word as W
 
 Array = jax.Array
 
-__all__ = ["QuantizedSQP"]
+__all__ = ["QuantizedSQP", "SQPController"]
 
 
 def _lower_words() -> np.uint32:
@@ -333,3 +333,84 @@ class QuantizedSQP:
                 U[i] = u
             costs.append(self.true_cost(x0_f, U))
         return U, np.stack(costs, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPController:
+    """Real-time-iteration closed loop: receding-horizon SQP MPC.
+
+    Per tick: run ``iters_per_tick`` SQP iterations warm-started from the
+    shifted previous plan (classic RTI -- one linearize/condense/solve pass
+    per control period tracks the optimum as the state evolves), apply the
+    first control on the **quantized plant** (the model's fixed-point
+    ``step``), shift the packed plan by one step.
+
+    The device program is the same batched fixed-point PGD for every tick
+    (zero recompiles after the first); host work per tick is one
+    linearization + condensation per problem.  Fully deterministic.
+    """
+
+    sqp: QuantizedSQP
+    iters_per_tick: int = 1
+
+    def run(
+        self,
+        x0_f: np.ndarray,
+        ticks: int,
+        u_words: Optional[Array] = None,
+        x_ref_traj: Optional[np.ndarray] = None,
+    ):
+        """Returns (states (B, ticks+1, n) int32 fixed-point, applied
+        controls (B, ticks, m) int32 lanes).
+
+        ``u_words`` warm-starts the first tick -- the plan-then-track
+        pattern: compute a full-depth SQP plan offline (e.g. a pendulum
+        swing-up), then let the per-tick real-time iterations track it
+        through the quantized plant.  RTI is a tracking scheme; from a cold
+        plan it converges to the nearest local solution, which for strongly
+        underactuated tasks may be an equilibrium short of the goal.
+
+        ``x_ref_traj`` (>= ticks + horizon, n) turns the loop into a
+        **trajectory tracker**: each tick's QP uses the sliding window
+        ``x_ref_traj[t+1 : t+1+horizon]`` as its per-step reference.  For
+        unstable plants this is the right decomposition: long-horizon
+        planning offline, short-horizon (well-conditioned) tracking online
+        -- condensation of an unstable plant conditions like e^(2*lambda*T),
+        so the tracking horizon should be short.
+        """
+        tick_sqp = dataclasses.replace(self.sqp, sqp_iters=self.iters_per_tick)
+        model = self.sqp.model
+        m, n_dec = self.sqp.n_ctrl, self.sqp.n_dec
+        T = self.sqp.horizon
+        if x_ref_traj is not None:
+            x_ref_traj = np.asarray(x_ref_traj, np.float64)
+            if x_ref_traj.shape[0] < ticks + T:
+                raise ValueError(
+                    f"x_ref_traj has {x_ref_traj.shape[0]} steps; tracking "
+                    f"{ticks} ticks at horizon {T} needs >= {ticks + T}"
+                )
+        x0_f = np.atleast_2d(np.asarray(x0_f, np.float64))
+        batch = x0_f.shape[0]
+        state_fp = jnp.asarray(model.to_fixed(x0_f))
+        words = self.sqp.init_words(batch) if u_words is None else u_words
+        states = [np.asarray(state_fp)]
+        applied = []
+        for t in range(ticks):
+            x_f = model.to_float(np.asarray(state_fp))
+            if x_ref_traj is not None:
+                tick_sqp = dataclasses.replace(
+                    tick_sqp, x_ref=x_ref_traj[t + 1 : t + 1 + T]
+                )
+            words, _ = tick_sqp.solve(x_f, u_words=words)
+            lanes = np.asarray(unpack_controls(words))  # (B, Tp)
+            u0 = lanes[:, :m]
+            state_fp = model.step(
+                state_fp, *(jnp.asarray(u0[:, c]) for c in range(m))
+            )
+            # warm shift: drop the applied step, zero the tail
+            shifted = np.zeros_like(lanes)
+            shifted[:, : n_dec - m] = lanes[:, m:n_dec]
+            words = pack_controls(jnp.asarray(shifted))
+            states.append(np.asarray(state_fp))
+            applied.append(u0)
+        return np.stack(states, axis=1), np.stack(applied, axis=1)

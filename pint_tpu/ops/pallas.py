@@ -152,27 +152,46 @@ def _binop_impl(layout: PackedLayout, name: str, interpret: bool):
 
 
 def _to_pair(x: Array) -> Array:
-    """uint64 array -> (..., 2) u32 pair words (requires x64)."""
-    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+    """uint64 array -> (2, ...) planar u32 pair words (requires x64).
+
+    PLANAR, not interleaved: the halves live on the LEADING axis so each
+    plane is contiguous and tiles the (8, 128) vector grid perfectly.  A
+    trailing pair axis would put a size-2 dim on the lane axis (padded
+    2 -> 128: an 8-10x throughput cliff, measured).
+    """
+    return jnp.moveaxis(jax.lax.bitcast_convert_type(x, jnp.uint32), -1, 0)
 
 
 def _from_pair(pair: Array) -> Array:
-    """(..., 2) u32 pair words -> uint64 array (requires x64)."""
-    return jax.lax.bitcast_convert_type(pair, jnp.uint64)
+    """(2, ...) planar u32 pair words -> uint64 array (requires x64)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.moveaxis(pair, 0, -1), jnp.uint64
+    )
 
 
 def _pair_pad(pair: Array, padded_total: int) -> tuple[Array, Array]:
-    """(..., 2) pair words -> (lo, hi) planes flattened/padded to
+    """(2, ...) planar pair words -> (lo, hi) planes flattened/padded to
     (rows, COLS)."""
     return (
-        _flatten_pad(pair[..., 0], padded_total),
-        _flatten_pad(pair[..., 1], padded_total),
+        _flatten_pad(pair[0], padded_total),
+        _flatten_pad(pair[1], padded_total),
     )
 
 
 def _pair_trim(lo: Array, hi: Array, total: int, shape) -> Array:
-    pair = jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)
-    return pair[:total].reshape(*shape, 2)
+    pair = jnp.stack([lo.reshape(-1)[:total], hi.reshape(-1)[:total]])
+    return pair.reshape(2, *shape)
+
+
+def _check_planar(pair: Array) -> None:
+    """Planar pair words have the halves on the LEADING axis: (2, ...).
+    A trailing pair axis would be silently misread (axis 0 becomes data),
+    so reject anything whose first dim is not exactly 2."""
+    if pair.ndim < 1 or pair.shape[0] != 2 or pair.dtype != jnp.uint32:
+        raise ValueError(
+            f"pair words must be planar uint32 (2, ...) -- [0]=low half, "
+            f"[1]=high half; got shape {pair.shape} dtype {pair.dtype}"
+        )
 
 
 def _x32_trace():
@@ -197,7 +216,9 @@ def _binop_pair_impl(layout: PackedLayout, name: str, interpret: bool):
 
     @jax.jit
     def run(a: Array, b: Array) -> Array:
-        shape = a.shape[:-1]
+        _check_planar(a)
+        _check_planar(b)
+        shape = a.shape[1:]
         total = int(np.prod(shape)) if shape else 1
         rows, padded_total, block_rows = _tile_shape(total)
         with _x32_trace():
@@ -224,10 +245,12 @@ def _binop_pair_impl(layout: PackedLayout, name: str, interpret: bool):
 def binop_pair(
     layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
 ) -> Callable[[Array, Array], Array]:
-    """Pallas split binop on u64 words carried as (..., 2) u32 pair arrays.
+    """Pallas split binop on u64 words carried as (2, ...) planar u32 pairs.
 
-    The x64-free entry point for 64-bit layouts on TPU: pair words are the
-    little-endian bitcast of the u64 word (``pair[..., 0]`` = low half).
+    The x64-free entry point for 64-bit layouts on TPU: ``pair[0]`` is the
+    low half, ``pair[1]`` the high half (little-endian).  Planar layout --
+    halves on the LEADING axis -- keeps each plane contiguous on the vector
+    grid; an interleaved trailing pair axis costs 8-10x (measured).
     """
     if name not in BINOP_NAMES:
         raise ValueError(f"unknown binop {name!r}")
@@ -243,8 +266,13 @@ def binop(
 ) -> Callable[[Array, Array], Array]:
     """A Pallas-backed binary SWAR op ``(words, words) -> words``.
 
-    u64 layouts run as split 2xu32 kernels (bit-identical to the x64 jnp
-    path); :func:`binop_pair` is the x64-free pair-word entry.
+    u64 layouts dispatch to the jnp/XLA path: XLA's own 64-bit integer
+    emulation fuses the whole formula into one bandwidth-bound pass and
+    measures ~7x faster than routing through split kernels with their
+    pad/reshape boundary passes (BENCH_sweep.json u64_family).  The split
+    kernels remain as :func:`binop_pair` (x64-free pair-word entry) and as
+    the in-kernel composition tier for fused u64 chains, where Mosaic's
+    lack of i64 vectors leaves no alternative.
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
     tests run everywhere.
     """
@@ -253,13 +281,8 @@ def binop(
     if interpret is None:
         interpret = _default_interpret()
     if not _native(layout):
-        pair_fn = _binop_pair_impl(layout, name, interpret)
-
-        @jax.jit
-        def run64(a: Array, b: Array) -> Array:
-            return _from_pair(pair_fn(_to_pair(a), _to_pair(b)))
-
-        return run64
+        formula = getattr(W, name)
+        return jax.jit(lambda a, b: formula(layout, a, b))
     return _binop_impl(layout, name, interpret)
 
 
@@ -310,7 +333,8 @@ def _shift_pair_impl(layout: PackedLayout, name: str, interpret: bool):
 
     @jax.jit
     def run(v: Array, amount) -> Array:
-        shape = v.shape[:-1]
+        _check_planar(v)
+        shape = v.shape[1:]
         total = int(np.prod(shape)) if shape else 1
         rows, padded_total, block_rows = _tile_shape(total)
         with _x32_trace():
@@ -337,7 +361,8 @@ def _shift_pair_impl(layout: PackedLayout, name: str, interpret: bool):
 def shift_pair(
     layout: PackedLayout, name: str, *, interpret: Optional[bool] = None
 ) -> Callable[[Array, object], Array]:
-    """Pallas split lane-shift on (..., 2) u32 pair words (x64-free u64)."""
+    """Pallas split lane-shift on (2, ...) planar u32 pair words
+    (x64-free u64)."""
     if name not in SHIFT_NAMES:
         raise ValueError(f"unknown shift {name!r}")
     if layout.word_bits != 64:
@@ -357,13 +382,8 @@ def shift(
     if interpret is None:
         interpret = _default_interpret()
     if not _native(layout):
-        pair_fn = _shift_pair_impl(layout, name, interpret)
-
-        @jax.jit
-        def run64(v: Array, amount) -> Array:
-            return _from_pair(pair_fn(_to_pair(v), amount))
-
-        return run64
+        formula = getattr(W, name)
+        return jax.jit(lambda v, a: formula(layout, v, a))
     return _shift_impl(layout, name, interpret)
 
 
@@ -449,11 +469,12 @@ def _sat_accum_split_impl(
         total = int(np.prod(shape)) if shape else 1
         rows, padded_total, block_rows = _tile_shape(total)
         acc_pair = _to_pair(acc)
-        delta_pairs = _to_pair(deltas)
+        delta_pairs = _to_pair(deltas)  # (2, steps, ...) planar
         with _x32_trace():
             alo, ahi = _pair_pad(acc_pair, padded_total)
             planes = [
-                _pair_pad(delta_pairs[s], padded_total) for s in range(steps)
+                _pair_pad(delta_pairs[:, s], padded_total)
+                for s in range(steps)
             ]
             dlo = jnp.stack([p[0] for p in planes])
             dhi = jnp.stack([p[1] for p in planes])

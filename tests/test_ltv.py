@@ -156,3 +156,17 @@ def test_sqp_batch_determinism(sqp, sqp_x0, sqp_solution):
     np.testing.assert_array_equal(
         np.asarray(words_batch)[1], np.asarray(solo)[0]
     )
+
+
+def test_sqp_controller_unicycle_closed_loop(sqp):
+    """Receding-horizon RTI on the unicycle: one warm-started SQP
+    iteration per tick reaches the goal through the quantized plant."""
+    from pint_tpu.mpc import SQPController
+
+    ctl = SQPController(sqp, iters_per_tick=1)
+    x0 = np.array([[0.0, 0.0, 0.0], [-0.1, 0.05, 0.1]])
+    states, applied = ctl.run(x0, ticks=48)
+    assert states.shape == (2, 49, 3) and applied.shape == (2, 48, 2)
+    xyf = sqp.model.to_float(states)[:, -1, :2]
+    dist = np.linalg.norm(xyf - np.array([0.2, 0.1]), axis=-1)
+    assert (dist < 0.06).all(), dist

@@ -134,3 +134,77 @@ def test_swingup_matches_float64_reference(swingup, swingup_solution):
     np.testing.assert_allclose(
         costs[:, -1], ref_costs[:, -1], rtol=0.02
     )
+
+
+# -- closed loop: RTI regulation and plan-then-track swing-up -----------------
+
+
+@pytest.fixture(scope="module")
+def strong_model():
+    # u_max 1.98 < k_g 2.5: still pump-required, but the upright basin
+    # (|theta| ~ u_max / (16 k_g)) is wide enough to catch
+    return Pendulum(u_shift=10)
+
+
+def test_rti_regulation_short_horizon(strong_model):
+    """Short-horizon RTI regulates near-upright starts to ~zero.  The
+    horizon must be short: condensing an exponentially unstable plant
+    conditions like e^(2*lambda*T), which defeats fixed-iteration PGD."""
+    from pint_tpu.mpc import SQPController
+
+    m = strong_model
+    sqp = QuantizedSQP(
+        model=m, horizon=16, sqp_iters=1, pgd_iters=40,
+        Q=np.diag([1.0, 0.05]), R=np.array([[0.02]]),
+        qf_scale=40.0, x_ref=np.zeros(2), pad_to=16,
+    )
+    ctl = SQPController(sqp, iters_per_tick=1)
+    states, _ = ctl.run(
+        np.array([[0.05, 0.0], [-0.06, 0.1], [0.08, -0.2]]), ticks=96
+    )
+    thf = m.to_float(states)
+    assert np.abs(thf[:, -30:, 0]).max() < 5e-3, thf[:, -5:, 0]
+    assert np.abs(thf[:, -30:, 1]).max() < 2e-2
+
+
+def test_plan_then_track_swingup(strong_model):
+    """The full quantized pipeline: long-horizon SQP plans the swing-up
+    offline; a short-horizon RTI tracker follows the planned state
+    trajectory through the fixed-point plant and balances upright."""
+    from pint_tpu.mpc import SQPController
+
+    m = strong_model
+    planner = QuantizedSQP(
+        model=m, horizon=128, sqp_iters=8, pgd_iters=60,
+        Q=np.diag([1.0, 0.05]), R=np.array([[0.05]]),
+        qf_scale=80.0, x_ref=np.zeros(2),
+    )
+    x0 = np.array([[0.5, 0.0]])  # hanging, at rest
+    plan_words, _ = planner.solve(x0)
+    ref_traj = m.reference_rollout(x0[0], planner.plan_phys(plan_words)[0])
+    ticks = 192
+    xref = np.concatenate(
+        [ref_traj, np.zeros((ticks + 16 - ref_traj.shape[0], 2))]
+    )
+    tracker = QuantizedSQP(
+        model=m, horizon=16, sqp_iters=1, pgd_iters=40,
+        Q=np.diag([1.0, 0.3]), R=np.array([[0.01]]),
+        qf_scale=20.0, x_ref=np.zeros(2), pad_to=16,
+    )
+    ctl = SQPController(tracker, iters_per_tick=1)
+    states, _ = ctl.run(x0, ticks=ticks, x_ref_traj=xref)
+    thf = m.to_float(states)[0]
+    assert np.abs(thf[-40:, 0]).max() < 0.01, thf[-5:]
+    assert np.abs(thf[-40:, 1]).max() < 0.05
+
+
+def test_tracking_ref_length_validated(strong_model):
+    from pint_tpu.mpc import SQPController
+
+    sqp = QuantizedSQP(
+        model=strong_model, horizon=16, Q=np.diag([1.0, 0.3]),
+        R=np.array([[0.01]]), x_ref=np.zeros(2), pad_to=16,
+    )
+    ctl = SQPController(sqp)
+    with pytest.raises(ValueError, match="x_ref_traj"):
+        ctl.run(np.array([[0.1, 0.0]]), ticks=50, x_ref_traj=np.zeros((40, 2)))

@@ -137,9 +137,10 @@ def test_pallas_split_saturating_accumulate(signed):
 
 
 def _to_pair_np(w):
+    """Planar (2, ...) pair words: [0]=low half, [1]=high half."""
     w = np.asarray(w)
     return np.stack(
-        [w & np.uint64(0xFFFFFFFF), w >> np.uint64(32)], axis=-1
+        [w & np.uint64(0xFFFFFFFF), w >> np.uint64(32)], axis=0
     ).astype(np.uint32)
 
 

@@ -133,21 +133,21 @@ def main() -> None:
         bw = rng64.integers(0, 2**64 - 1, 4096, dtype=np.uint64, endpoint=True)
         aw &= np.uint64(lay64.used_mask)
         bw &= np.uint64(lay64.used_mask)
-        # little-endian pair words: [..., 0]=low half (matches u64 bitcast)
+        # planar pair words: [0]=low half, [1]=high half
         ap = jnp.asarray(
-            np.stack([aw & 0xFFFFFFFF, aw >> np.uint64(32)], -1).astype(
+            np.stack([aw & 0xFFFFFFFF, aw >> np.uint64(32)], 0).astype(
                 np.uint32
             )
         )
         bp = jnp.asarray(
-            np.stack([bw & 0xFFFFFFFF, bw >> np.uint64(32)], -1).astype(
+            np.stack([bw & 0xFFFFFFFF, bw >> np.uint64(32)], 0).astype(
                 np.uint32
             )
         )
 
         def _merge(pair):
             p = np.asarray(pair).astype(np.uint64)
-            return p[..., 0] | (p[..., 1] << np.uint64(32))
+            return p[0] | (p[1] << np.uint64(32))
 
         for op in ("add_unsigned_saturate", "sub_signed_saturate", "max_signed"):
             got = _merge(P.binop_pair(lay64, op, interpret=False)(ap, bp))
