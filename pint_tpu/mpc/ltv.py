@@ -46,7 +46,7 @@ from pint_tpu.models.dynamics import (
     pack_controls,
     unpack_controls,
 )
-from pint_tpu.mpc.condensed import condense_ltv, quantize
+from pint_tpu.mpc.condensed import condense_ltv, condense_ltv_batch, quantize
 from pint_tpu.ops import word as W
 
 Array = jax.Array
@@ -245,24 +245,77 @@ class QuantizedSQP:
             )
         costs = [self.true_cost(x0_f, self.lanes(u_words))]
         for _ in range(self.sqp_iters):
-            lanes = self.lanes(u_words)  # (B, 2T) host int32
-            ops = [
-                self._condense_one(x0_f[i], lanes[i]) for i in range(batch)
-            ]
-            Hq = jnp.asarray(np.stack([o[0] for o in ops]))
-            g_pre = jnp.asarray(np.stack([o[1] for o in ops]))
-            hs_num = jnp.asarray(
-                np.array([o[2] for o in ops], np.int32)
-            )
-            hs_den = jnp.asarray(
-                np.array([o[3] for o in ops], np.int32)
-            )
+            lanes = self.lanes(u_words)  # (B, n_dec) host int32
+            Hq, g_pre, hs_num, hs_den = self._condense_batch(x0_f, lanes)
             u_words = _pgd_batched_h(
-                u_words, g_pre, Hq, hs_num, hs_den,
+                u_words,
+                jnp.asarray(g_pre),
+                jnp.asarray(Hq),
+                jnp.asarray(hs_num),
+                jnp.asarray(hs_den),
                 iters=self.pgd_iters, g_shift=self.g_shift,
             )
             costs.append(self.true_cost(x0_f, self.lanes(u_words)))
         return u_words, np.stack(costs, axis=-1)
+
+    def _condense_batch(self, x0_f: np.ndarray, lanes: np.ndarray):
+        """Vectorized linearize+condense+quantize for the whole batch.
+
+        The per-problem values match :meth:`_condense_one` (same per-k
+        accumulation order; GEMMs batched) -- one batched pass replaces a
+        ~4ms/problem Python loop.  Returns
+        (Hq (B,Tp,Tp) int8, g_pre (B,Tp) int32, hs_num (B,) int32,
+        hs_den (B,) int32)."""
+        T, m = self.horizon, self.n_ctrl
+        s = self._lane_scales
+        batch = x0_f.shape[0]
+        u_phys = lanes.reshape(batch, T, m) * s
+        traj = self.model.reference_rollout(x0_f, u_phys)  # (B, T+1, n)
+        self._check_dims(traj.shape[-1])
+        A_seq, B_seq = self.model.linearize(traj[:, :-1], u_phys)
+        c_seq = (
+            traj[:, 1:]
+            - np.einsum("bkij,bkj->bki", A_seq, traj[:, :-1])
+            - np.einsum("bkij,bkj->bki", B_seq, u_phys)
+        )
+        Q = np.asarray(self.Q)
+        R_lane = s[:, None] * np.asarray(self.R) * s[None, :]
+        H, G, g_ref, lip = condense_ltv_batch(
+            A_seq, B_seq * s, c_seq, Q, R_lane,
+            self.qf_scale * Q, np.asarray(self.x_ref, float),
+        )
+        # vectorized quantize() (same per-problem formulas; u_scale = 1)
+        Tp = self.padded
+        alpha = 1.0 / lip                                   # (B,)
+        aH = alpha[:, None, None] * H
+        h_scale = np.abs(aH).max(axis=(1, 2)) / 127.0       # (B,)
+        Hq = np.zeros((batch, Tp, Tp), np.int8)
+        Hq[:, : H.shape[1], : H.shape[2]] = np.round(
+            aH / h_scale[:, None, None]
+        ).astype(np.int8)
+        g = np.einsum("bin,bn->bi", G, x0_f) + g_ref        # (B, Tm)
+        gq = np.round(
+            np.nan_to_num(
+                g * (alpha * float(2**self.g_shift))[:, None],
+                posinf=2**31 - 1, neginf=-(2**31),
+            )
+        )
+        g_pre = np.zeros((batch, Tp), np.int32)
+        g_pre[:, : g.shape[1]] = np.clip(gq, -(2**31), 2**31 - 1).astype(
+            np.int32
+        )
+        val = h_scale * float(2**self.g_shift)              # (B,)
+        num_max = (2**31 - 1) // (127 * 127 * Tp)
+        hs_den = np.clip(
+            np.floor(np.log2(num_max / val)), 0, 31
+        ).astype(np.int32)
+        hs_num = np.round(val * 2.0**hs_den).astype(np.int64)
+        if (hs_num < 1).any() or (hs_num > num_max).any():
+            raise ValueError(
+                "step scale cannot be represented as an int32 rational "
+                "(degenerate problem scaling); rescale Q/R or g_shift"
+            )
+        return Hq, g_pre, hs_num.astype(np.int32), hs_den
 
     def lanes(self, u_words: Array) -> np.ndarray:
         """(B, 2T) int32 lane plan (drops the QP padding)."""

@@ -170,3 +170,27 @@ def test_sqp_controller_unicycle_closed_loop(sqp):
     xyf = sqp.model.to_float(states)[:, -1, :2]
     dist = np.linalg.norm(xyf - np.array([0.2, 0.1]), axis=-1)
     assert (dist < 0.06).all(), dist
+
+
+def test_condense_ltv_batch_matches_scalar():
+    """The batched condensation reproduces per-problem condense_ltv."""
+    from pint_tpu.mpc.condensed import condense_ltv_batch
+
+    rng = np.random.default_rng(5)
+    B, T, n, m = 4, 10, 3, 2
+    A_seq = np.eye(n) + 0.1 * rng.standard_normal((B, T, n, n))
+    B_seq = 0.4 * rng.standard_normal((B, T, n, m))
+    c_seq = 0.1 * rng.standard_normal((B, T, n))
+    Q = np.diag([1.0, 0.5, 0.2])
+    R = np.diag([0.1, 0.3])
+    Qf = 7.0 * Q
+    x_ref = rng.standard_normal((T, n))
+    H, G, g_ref, lip = condense_ltv_batch(A_seq, B_seq, c_seq, Q, R, Qf, x_ref)
+    for b in range(B):
+        qp = condense_ltv(
+            A_seq[b], B_seq[b], c_seq[b], Q, R, Qf, x_ref, u_max=1.0
+        )
+        np.testing.assert_allclose(H[b], qp.H, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(G[b], qp.G, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(g_ref[b], qp.g_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(lip[b], qp.lipschitz, rtol=1e-10)
