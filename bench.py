@@ -135,6 +135,35 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     return batch / sec_word, batch / sec_fused, batch / sec_accel
 
 
+def bench_device_sqp(overhead, batch=4096):
+    """On-device nonlinear SQP solves/s: the full linearize/condense/
+    quantize/PGD loop as one XLA program (mpc.device_sqp.DeviceSQP),
+    unicycle goal-reaching, T=32, 4 SQP x 30 PGD iterations."""
+    from pint_tpu.mpc import DeviceSQP
+
+    dev = DeviceSQP(
+        horizon=32, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+    )
+    rng = np.random.default_rng(0)
+    x0 = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(0, 1, batch),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    x0j = jnp.asarray(x0)
+    u0 = dev.init_words(batch)
+    sec = time_chained(
+        lambda w, x: dev._solve_jit(w, x), u0, x0j,
+        inner=32, reps=3, overhead=overhead,
+    )
+    return batch / sec
+
+
 def bench_vpu_ops(overhead, n: int = 1 << 20, ops_per_pass: int = 64) -> float:
     """Sustained VPU int32 whole-word ops/s: a long fused chain of
     shift/xor/add on a small (VMEM-resident-per-tile) array, so HBM traffic
@@ -409,6 +438,13 @@ def main() -> None:
         results["rollouts_per_s_b8192_h52"] = bench_rollouts(overhead)
     except Exception as e:
         results["rollout_error"] = repr(e)
+
+    try:
+        results["mpc_device_sqp_solves_per_s_b4096_T32_i4x30"] = (
+            bench_device_sqp(overhead)
+        )
+    except Exception as e:
+        results["device_sqp_error"] = repr(e)
 
     try:
         word_rate, fused_rate, accel_rate = bench_mpc(overhead)

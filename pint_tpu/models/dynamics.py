@@ -201,6 +201,14 @@ def _dsin_turns_f64(theta_turns: np.ndarray) -> np.ndarray:
     return np.where(t >= 0.5, -dval, dval)
 
 
+def _dsin_turns_f32(theta_turns: Array) -> Array:
+    """Differentiable jnp twin of :func:`_dsin_turns_f64`."""
+    t = jnp.mod(theta_turns, 1.0)
+    half = jnp.mod(t, 0.5)
+    dval = 16.0 * (0.5 - 2.0 * half)
+    return jnp.where(t >= 0.5, -dval, dval)
+
+
 def _sin_turns_f32(theta_turns: Array) -> Array:
     """Differentiable jnp twin of the quadratic sine (same parabola).
 
@@ -378,6 +386,37 @@ class Unicycle:
         B[..., 0, 0] = cos_q * dt
         B[..., 1, 0] = sin_q * dt
         B[..., 2, 1] = dt
+        return A, B
+
+    def linearize_f32(self, states_f: Array, controls_f: Array) -> tuple:
+        """jnp float32 twin of :meth:`linearize` (same analytic Jacobians),
+        for the device-resident SQP.  states_f (..., 3), controls_f
+        (..., 2) -> (A (..., 3, 3), B (..., 3, 2))."""
+        th = states_f[..., 2]
+        v = controls_f[..., 0]
+        dt = np.float32(self.dt)
+        cos_q = _sin_turns_f32(th + 0.25)
+        sin_q = _sin_turns_f32(th)
+        dcos = _dsin_turns_f32(th + 0.25)
+        dsin = _dsin_turns_f32(th)
+        z = jnp.zeros_like(th)
+        one = jnp.ones_like(th)
+        A = jnp.stack(
+            [
+                jnp.stack([one, z, v * dcos * dt], -1),
+                jnp.stack([z, one, v * dsin * dt], -1),
+                jnp.stack([z, z, one], -1),
+            ],
+            -2,
+        )
+        B = jnp.stack(
+            [
+                jnp.stack([cos_q * dt, z], -1),
+                jnp.stack([sin_q * dt, z], -1),
+                jnp.stack([z, jnp.full_like(th, dt)], -1),
+            ],
+            -2,
+        )
         return A, B
 
     def to_fixed_xy(self, x: np.ndarray) -> np.ndarray:

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from pint_tpu.models.dynamics import (
+    _dsin_turns_f32,
     _dsin_turns_f64,
+    _sin_turns_f32,
     _sin_turns_f64,
     _sin_turns_q14,
     unpack_controls,
@@ -165,6 +167,54 @@ class Pendulum:
         B = np.zeros(batch + (2, 1))
         B[..., 0, 0] = dt * dt
         B[..., 1, 0] = dt
+        return A, B
+
+    # -- float32 jnp twins (device-resident SQP) -------------------------------
+
+    def rollout_f32(self, state0_f: Array, controls_f: Array) -> Array:
+        """jnp float32 rollout of the same semi-implicit map (same quantized
+        gain, same quadratic trig).  state0_f (..., 2), controls_f
+        (..., T, 1) -> (..., T+1, 2)."""
+        dt = np.float32(self.dt)
+        kg = np.float32(self._kg_fp * 2.0**-16)
+
+        def body(carry, u_t):
+            th, om = carry[..., 0], carry[..., 1]
+            om = om + dt * (kg * _sin_turns_f32(th) + u_t[..., 0])
+            th = th + dt * om
+            nxt = jnp.stack([th, om], axis=-1)
+            return nxt, nxt
+
+        controls_tfirst = jnp.moveaxis(
+            controls_f.astype(jnp.float32), -2, 0
+        )
+        _, states = jax.lax.scan(
+            body, state0_f.astype(jnp.float32), controls_tfirst
+        )
+        states = jnp.moveaxis(states, 0, -2)
+        return jnp.concatenate([state0_f[..., None, :], states], axis=-2)
+
+    def linearize_f32(self, states_f: Array, controls_f: Array) -> tuple:
+        """jnp float32 twin of :meth:`linearize`."""
+        th = states_f[..., 0]
+        dt = np.float32(self.dt)
+        kg = np.float32(self._kg_fp * 2.0**-16)
+        ds = kg * _dsin_turns_f32(th)
+        one = jnp.ones_like(th)
+        A = jnp.stack(
+            [
+                jnp.stack([one + dt * dt * ds, jnp.full_like(th, dt)], -1),
+                jnp.stack([dt * ds, one], -1),
+            ],
+            -2,
+        )
+        B = jnp.stack(
+            [
+                jnp.full_like(th, dt * dt)[..., None],
+                jnp.full_like(th, dt)[..., None],
+            ],
+            -2,
+        )
         return A, B
 
     # -- unit conversion --------------------------------------------------------

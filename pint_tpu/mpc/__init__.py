@@ -8,6 +8,7 @@ from pint_tpu.mpc.condensed import (
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
 from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
+from pint_tpu.mpc.device_sqp import DeviceSQP
 from pint_tpu.mpc.fused import FusedPGD
 from pint_tpu.mpc.ltv import QuantizedSQP, SQPController
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
@@ -29,6 +30,7 @@ __all__ = [
     "QuantizedMPPI",
     "QuantizedNonlinearPGD",
     "QuantizedSQP",
+    "DeviceSQP",
     "SQPController",
     "unicycle_goal_cost",
 ]

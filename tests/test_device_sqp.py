@@ -1,0 +1,81 @@
+"""Device-resident SQP: the whole nonlinear-MPC loop as one XLA program."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pint_tpu.models import Pendulum
+from pint_tpu.mpc import DeviceSQP, QuantizedSQP
+
+
+@pytest.fixture(scope="module")
+def pair():
+    kw = dict(
+        horizon=32, sqp_iters=6, pgd_iters=40,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+    )
+    return QuantizedSQP(**kw), DeviceSQP(**kw)
+
+
+@pytest.fixture(scope="module")
+def x0():
+    return np.array(
+        [[0.0, 0.0, 0.0], [-0.1, 0.05, 0.1], [0.05, -0.1, 0.9]]
+    )
+
+
+def test_device_matches_host_path(pair, x0):
+    """f32 on-device condensation + power-iteration Lipschitz tracks the
+    f64 host path to a fraction of a percent in final true cost."""
+    host, dev = pair
+    _, host_costs = host.solve(x0)
+    words, _ = dev.solve(x0)
+    dev_costs = host.true_cost(x0, host.lanes(words))
+    np.testing.assert_allclose(
+        dev_costs, host_costs[:, -1], rtol=0.01, atol=1e-4
+    )
+
+
+def test_device_sqp_deterministic(pair, x0):
+    _, dev = pair
+    w1, _ = dev.solve(x0)
+    w2, _ = dev.solve(x0)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_device_sqp_one_program(pair, x0):
+    """The full solve traces into a single jitted call (no per-iteration
+    host transfers): the jitted function is cached on the instance."""
+    _, dev = pair
+    f1 = dev._solve_jit
+    f2 = dev._solve_jit
+    assert f1 is f2
+
+
+def test_device_swingup():
+    m = Pendulum()
+    dev = DeviceSQP(
+        model=m, horizon=128, sqp_iters=8, pgd_iters=60,
+        Q=np.diag([1.0, 0.05]), R=np.array([[0.05]]),
+        qf_scale=80.0, x_ref=np.zeros(2),
+    )
+    words, plans = dev.solve(np.array([[0.5, 0.0]]))
+    traj = m.reference_rollout(np.array([0.5, 0.0]), plans[0])
+    assert abs(traj[-1, 0]) < 0.1 and abs(traj[-1, 1]) < 0.3, traj[-1]
+
+
+def test_device_sqp_warm_start(pair, x0):
+    """Warm-starting from a previous solution keeps it (near) fixed."""
+    host, dev = pair
+    w1, _ = dev.solve(x0)
+    w2 = dev.solve_words(w1, x0.astype(np.float32))
+    c1 = host.true_cost(x0, host.lanes(w1))
+    c2 = host.true_cost(x0, host.lanes(w2))
+    assert (c2 <= c1 * 1.01 + 1e-6).all(), (c1, c2)
+
+
+def test_device_sqp_packing_validated():
+    with pytest.raises(ValueError, match="multiple of 4"):
+        DeviceSQP(model=Pendulum(), horizon=30, Q=np.eye(2),
+                  R=np.array([[0.1]]), x_ref=np.zeros(2))

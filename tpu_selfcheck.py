@@ -163,6 +163,24 @@ def main() -> None:
                 bool((got == exp).all()),
             )
 
+    # 6. device-resident SQP: full nonlinear loop natively compiled, final
+    # costs within 1% of the f64 host path
+    from pint_tpu.mpc import DeviceSQP, QuantizedSQP
+
+    kw = dict(
+        horizon=32, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+    )
+    host6 = QuantizedSQP(**kw)
+    dev6 = DeviceSQP(**kw)
+    x06 = np.array([[0.0, 0.0, 0.0], [-0.1, 0.05, 0.1]])
+    _, hcost = host6.solve(x06)
+    w6, _ = dev6.solve(x06)
+    dcost = host6.true_cost(x06, host6.lanes(w6))
+    rel = float(np.abs(dcost - hcost[:, -1]).max() / hcost[:, -1].max())
+    check(f"device SQP vs host path (rel {rel:.4f})", rel < 0.01)
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
