@@ -157,10 +157,13 @@ class DeviceSQP:
             c_acc = jnp.einsum("bij,bj->bi", Ak, c_acc) + ck
             return (Ak_prod, Bbar, c_acc), (Ak_prod, Bbar, c_acc)
 
+        # derive the scan init from the (possibly device-varying) input so
+        # carry-in and carry-out agree under shard_map's varying-axes check
+        zero_b = jnp.zeros_like(x0_f[..., 0]).astype(jnp.float32)  # (B,)
         init = (
-            jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (batch, n, n)),
-            jnp.zeros((batch, n, Tm), jnp.float32),
-            jnp.zeros((batch, n), jnp.float32),
+            jnp.eye(n, dtype=jnp.float32) + zero_b[:, None, None],
+            jnp.zeros((batch, n, Tm), jnp.float32) + zero_b[:, None, None],
+            jnp.zeros((batch, n), jnp.float32) + zero_b[:, None],
         )
         xs = (
             jnp.moveaxis(A_seq, 1, 0),
@@ -190,7 +193,10 @@ class DeviceSQP:
                 jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-30
             )
 
-        v0 = jnp.full((batch, Tm), 1.0 / np.sqrt(Tm), jnp.float32)
+        v0 = (
+            jnp.full((batch, Tm), 1.0 / np.sqrt(Tm), jnp.float32)
+            + zero_b[:, None]
+        )
         v = jax.lax.fori_loop(0, self.power_iters, pit, v0)
         hv = jnp.einsum("bnm,bm->bn", H, v)
         lip = jnp.einsum("bn,bn->b", v, hv) * np.float32(1.05)

@@ -104,7 +104,9 @@ def _pgd_batched_h(
         )
         return words, carry
 
-    carry0 = jnp.zeros(g_pre.shape, jnp.int32)
+    # derive the zero carry from g_pre so its device-varying axes match the
+    # loop output under shard_map (a bare jnp.zeros would be replicated)
+    carry0 = g_pre ^ g_pre
     words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
     return words
 

@@ -79,3 +79,40 @@ def test_device_sqp_packing_validated():
     with pytest.raises(ValueError, match="multiple of 4"):
         DeviceSQP(model=Pendulum(), horizon=30, Q=np.eye(2),
                   R=np.array([[0.1]]), x_ref=np.zeros(2))
+
+
+def test_device_sqp_dp_sharded_bit_identical(pair):
+    """shard_map over a dp mesh reproduces the single-device solve exactly
+    (the whole loop is batch-parallel; integer arithmetic is exact)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    _, dev = pair
+    rng = np.random.default_rng(3)
+    batch = 32
+    x0 = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(0, 1, batch),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    w_single, _ = dev.solve(x0)
+    mesh = make_mesh(dp=8, tp=1)
+    spec = P(("dp", "tp"), None)
+    xj = jax.device_put(jnp.asarray(x0), NamedSharding(mesh, spec))
+    u0 = jax.device_put(
+        dev.init_words(batch), NamedSharding(mesh, spec)
+    )
+    sharded = jax.jit(
+        jax.shard_map(
+            dev.solve_words, mesh=mesh, in_specs=(spec, spec),
+            out_specs=spec,
+        )
+    )
+    w_sh = sharded(u0, xj)
+    np.testing.assert_array_equal(np.asarray(w_single), np.asarray(w_sh))
