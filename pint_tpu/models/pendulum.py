@@ -63,6 +63,12 @@ class Pendulum:
             raise ValueError(f"dt_shift={self.dt_shift} out of range")
         if not (0 <= self.u_shift <= 20):
             raise ValueError(f"u_shift={self.u_shift} out of range")
+        if not (0 < self.k_g < 8.0):
+            # (kg_fp >> 2) * sin_q14 must fit int32: kg < 2^17 * 4 / 2^16
+            raise ValueError(
+                f"k_g={self.k_g}: the fixed-point gravity product needs "
+                "0 < k_g < 8 turns/s^2 (rescale l instead)"
+            )
 
     @property
     def dt(self) -> float:

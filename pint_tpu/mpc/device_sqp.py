@@ -209,9 +209,15 @@ class DeviceSQP:
             jnp.round(aH / h_scale[:, None, None]), -127, 127
         ).astype(jnp.int8)
         g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+        # mirror the host path's corrupted-input guard (QuantizedQP
+        # .g_lane_fixed): non-finite linear terms saturate / zero instead
+        # of tracing NaN into the int32 conversion
+        gs = jnp.nan_to_num(
+            g * (alpha * np.float32(2.0**self.g_shift))[:, None],
+            nan=0.0, posinf=2.0**31 - 1, neginf=-(2.0**31),
+        )
         g_pre = jnp.clip(
-            jnp.round(g * (alpha * np.float32(2.0**self.g_shift))[:, None]),
-            -(2.0**31), 2.0**31 - 1,
+            jnp.round(gs), -(2.0**31), 2.0**31 - 1
         ).astype(jnp.int32)
         val = h_scale * np.float32(2.0**self.g_shift)
         num_max = np.float32((2**31 - 1) // (127 * 127 * Tm))

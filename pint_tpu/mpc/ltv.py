@@ -46,7 +46,7 @@ from pint_tpu.models.dynamics import (
     pack_controls,
     unpack_controls,
 )
-from pint_tpu.mpc.condensed import condense_ltv, condense_ltv_batch, quantize
+from pint_tpu.mpc.condensed import condense_ltv, condense_ltv_batch
 from pint_tpu.ops import word as W
 
 Array = jax.Array
@@ -185,54 +185,21 @@ class QuantizedSQP:
                 f"x_ref has shape {xr.shape}; expected ({n},) or ({T}, {n})"
             )
 
-    # -- the SQP inner QP for one problem --------------------------------------
-
-    def _condense_one(
-        self, x0_f: np.ndarray, lanes: np.ndarray
-    ) -> Tuple[np.ndarray, np.ndarray, int, int]:
-        """One linearize+condense+quantize pass (host, float64).
-
-        Returns (Hq (Tp, Tp) int8, g_pre (Tp,) int32, hs_num, hs_den)."""
-        T = self.horizon
-        s = self._lane_scales
-        u_phys = lanes.reshape(T, self.n_ctrl) * s
-        traj = self.model.reference_rollout(x0_f, u_phys)  # (T+1, n)
-        self._check_dims(traj.shape[-1])
-        A_seq, B_seq = self.model.linearize(traj[:-1], u_phys)
-        # affine drift of the exact map around the nominal
-        c_seq = (
-            traj[1:]
-            - np.einsum("kij,kj->ki", A_seq, traj[:-1])
-            - np.einsum("kij,kj->ki", B_seq, u_phys)
-        )
-        # decision = lane values: fold channel scales into B and R
-        B_lane = B_seq * s          # (T, n, m) columns scaled
-        R_lane = s[:, None] * np.asarray(self.R) * s[None, :]
-        qp = condense_ltv(
-            A_seq,
-            B_lane,
-            c_seq,
-            np.asarray(self.Q),
-            R_lane,
-            self.qf_scale * np.asarray(self.Q),
-            self.x_ref,
-            u_max=127.0,
-        )
-        qqp = quantize(qp, g_shift=self.g_shift, pad_to=self.pad_to)
-        g_pre = qqp.g_lane_fixed(x0_f[None, :])[0]  # (Tp,) int32
-        return qqp.Hq, g_pre, qqp.hs_num, qqp.hs_den
-
     # -- public API -------------------------------------------------------------
 
     def solve(
         self,
-        x0_f: np.ndarray,            # (B, 3) float64 physical (theta turns)
+        x0_f: np.ndarray,            # (B, n) float64 physical
         u_words: Optional[Array] = None,
-    ) -> Tuple[Array, np.ndarray]:
+        track_costs: bool = True,
+    ) -> Tuple[Array, Optional[np.ndarray]]:
         """Run ``sqp_iters`` outer iterations.
 
-        Returns (packed words (B, Tp/4), cost history (B, sqp_iters+1) of the
-        true nonlinear objective).  Deterministic: same inputs, same words.
+        Returns (packed words (B, Tp/4), cost history (B, sqp_iters+1) of
+        the true nonlinear objective, or None when ``track_costs=False`` --
+        each cost sample is a full f64 reference rollout, which a closed
+        loop discarding the history should not pay for).  Deterministic:
+        same inputs, same words.
         """
         x0_f = np.atleast_2d(np.asarray(x0_f, np.float64))
         batch = x0_f.shape[0]
@@ -245,7 +212,9 @@ class QuantizedSQP:
                 f"{self.horizon} x {self.n_ctrl} channel(s) padded to "
                 f"{self.padded} lanes"
             )
-        costs = [self.true_cost(x0_f, self.lanes(u_words))]
+        costs = (
+            [self.true_cost(x0_f, self.lanes(u_words))] if track_costs else None
+        )
         for _ in range(self.sqp_iters):
             lanes = self.lanes(u_words)  # (B, n_dec) host int32
             Hq, g_pre, hs_num, hs_den = self._condense_batch(x0_f, lanes)
@@ -257,15 +226,20 @@ class QuantizedSQP:
                 jnp.asarray(hs_den),
                 iters=self.pgd_iters, g_shift=self.g_shift,
             )
-            costs.append(self.true_cost(x0_f, self.lanes(u_words)))
-        return u_words, np.stack(costs, axis=-1)
+            if track_costs:
+                costs.append(self.true_cost(x0_f, self.lanes(u_words)))
+        return u_words, (np.stack(costs, axis=-1) if track_costs else None)
 
     def _condense_batch(self, x0_f: np.ndarray, lanes: np.ndarray):
         """Vectorized linearize+condense+quantize for the whole batch.
 
-        The per-problem values match :meth:`_condense_one` (same per-k
-        accumulation order; GEMMs batched) -- one batched pass replaces a
-        ~4ms/problem Python loop.  Returns
+        One batched pass replaces a ~4ms/problem Python loop.  The
+        per-problem values match the scalar :func:`condense_ltv` +
+        :func:`quantize` recipe up to float summation order (the batch
+        path accumulates a shared Q plus a terminal Qf-Q correction), so
+        an int8 Hessian entry can differ by one on a half-ulp rounding
+        tie; both paths are equally valid quantizations of the same QP.
+        Returns
         (Hq (B,Tp,Tp) int8, g_pre (B,Tp) int32, hs_num (B,) int32,
         hs_den (B,) int32)."""
         T, m = self.horizon, self.n_ctrl
@@ -456,7 +430,7 @@ class SQPController:
                 tick_sqp = dataclasses.replace(
                     tick_sqp, x_ref=x_ref_traj[t + 1 : t + 1 + T]
                 )
-            words, _ = tick_sqp.solve(x_f, u_words=words)
+            words, _ = tick_sqp.solve(x_f, u_words=words, track_costs=False)
             lanes = np.asarray(unpack_controls(words))  # (B, Tp)
             u0 = lanes[:, :m]
             state_fp = model.step(

@@ -12,13 +12,17 @@ tests/test_pallas.py).
 
 Tiling: words are flattened and padded to (rows, COLS) with COLS=512 lanes,
 then gridded over row blocks sized to the VPU's (8, 128) int32 tile
-(pallas_guide: Tiling Constraints).  Word dtypes of 8/16/32 bits run native;
-64-bit words (TPUs have no 64-bit integer vector unit, and Mosaic rejects
-i64 vectors) run as **split kernels**: each u64 word is bitcast to its two
-u32 halves and the same word.py formulas evaluate over
-:class:`~pint_tpu.ops.split64.SplitWord` pairs with branch-free cross-half
-carry propagation -- two u32 streams in/out per operand instead of one
-emulated u64 stream.
+(pallas_guide: Tiling Constraints).  Word dtypes of 8/16/32 bits run native.
+
+64-bit words (no TPU i64 vector unit; Mosaic rejects i64) have two tiers:
+standalone ``binop``/``shift`` dispatch to the jnp/XLA path, whose u64
+emulation fuses into one bandwidth-bound pass (measured ~7x faster than
+routing through kernels with their pad/reshape boundary passes --
+BENCH_sweep.json u64_family); the **split kernels** -- word.py formulas
+evaluated over :class:`~pint_tpu.ops.split64.SplitWord` u32 half-pairs
+with branch-free cross-half carries -- back the x64-free planar pair
+entries (``binop_pair``/``shift_pair``) and fused in-Pallas u64 chains
+(``saturating_accumulate``), where Mosaic leaves no alternative.
 """
 
 from __future__ import annotations
@@ -70,9 +74,11 @@ _BLOCK_ROWS = 256
 def supported(layout: PackedLayout) -> bool:
     """Whether a Pallas kernel exists for this layout's word dtype.
 
-    8/16/32-bit words run as native (widened-to-u32) kernels; 64-bit words
-    run as split 2xu32 kernels.  Always true today -- kept as API for
-    callers that want to gate on kernel availability.
+    8/16/32-bit words run native (widened-to-u32) kernels; for 64-bit
+    layouts ``binop``/``shift`` return the jnp/XLA path (fastest measured)
+    while split 2xu32 kernels back ``binop_pair``/``shift_pair`` and the
+    fused ``saturating_accumulate``.  Always true today -- kept as API for
+    callers that want to gate on availability.
     """
     return layout.word_bits in (8, 16, 32, 64)
 

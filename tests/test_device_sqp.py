@@ -116,3 +116,16 @@ def test_device_sqp_dp_sharded_bit_identical(pair):
     )
     w_sh = sharded(u0, xj)
     np.testing.assert_array_equal(np.asarray(w_single), np.asarray(w_sh))
+
+
+def test_device_sqp_nan_input_isolated(pair):
+    """A corrupted (NaN) problem neither crashes the batch nor perturbs
+    its companions (the non-finite guard mirrors the host path)."""
+    _, dev = pair
+    good = np.array([[0.1, -0.05, 0.2]], np.float32)
+    bad = np.array([[np.nan, 0.0, 0.0]], np.float32)
+    both = np.concatenate([good, bad])
+    w_both, _ = dev.solve(both)
+    w_solo, _ = dev.solve(good)
+    np.testing.assert_array_equal(np.asarray(w_both)[0], np.asarray(w_solo)[0])
+    assert np.asarray(w_both).dtype == np.uint32  # finite packed words

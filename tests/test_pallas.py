@@ -59,9 +59,10 @@ def test_pallas_2d_shapes(layout):
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
 
 
-def test_u64_split_kernel():
-    """u64 layouts run as split 2xu32 Pallas kernels (tests/test_split64.py
-    has the full matrix; this is the smoke check in the main parity suite)."""
+def test_u64_two_tier():
+    """u64 layouts: P.binop dispatches to the jnp/XLA path (fastest
+    measured), while the split 2xu32 kernels back the pair-word entries --
+    tests/test_split64.py has the full kernel parity matrix."""
     layout = PackedLayout(*([8] * 8))
     assert P.supported(layout)
     a = _rand(layout, (64,), 5)
@@ -69,6 +70,18 @@ def test_u64_split_kernel():
     expected = W.add_unsigned_saturate(layout, a, b)
     got = P.binop(layout, "add_unsigned_saturate")(a, b)
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+    pair = lambda w: jnp.asarray(
+        np.stack(
+            [
+                np.asarray(w) & np.uint64(0xFFFFFFFF),
+                np.asarray(w) >> np.uint64(32),
+            ]
+        ).astype(np.uint32)
+    )
+    got_k = np.asarray(
+        P.binop_pair(layout, "add_unsigned_saturate")(pair(a), pair(b))
+    )
+    np.testing.assert_array_equal(np.asarray(pair(expected)), got_k)
 
 
 @pytest.mark.parametrize("signed", [False, True])

@@ -208,3 +208,12 @@ def test_tracking_ref_length_validated(strong_model):
     ctl = SQPController(sqp)
     with pytest.raises(ValueError, match="x_ref_traj"):
         ctl.run(np.array([[0.1, 0.0]]), ticks=50, x_ref_traj=np.zeros((40, 2)))
+
+
+def test_kg_overflow_bound_rejected():
+    """k_g outside the int32 fixed-point budget raises instead of silently
+    wrapping the gravity product (the f64 reference would not wrap, so the
+    two would silently diverge)."""
+    with pytest.raises(ValueError, match="k_g"):
+        Pendulum(k_g=9.0)
+    Pendulum(k_g=7.9)  # inside the bound: fine

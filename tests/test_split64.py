@@ -99,14 +99,28 @@ def test_split_view_shift_parity(layout, opname, amount):
     np.testing.assert_array_equal(expected, got)
 
 
+def _to_pair_np(w):
+    """Planar (2, ...) pair words: [0]=low half, [1]=high half."""
+    w = np.asarray(w)
+    return np.stack(
+        [w & np.uint64(0xFFFFFFFF), w >> np.uint64(32)], axis=0
+    ).astype(np.uint32)
+
+
 @pytest.mark.parametrize("layout", LAYOUTS, ids=str)
 @pytest.mark.parametrize("opname", P.BINOP_NAMES)
 def test_pallas_split_binop_parity(layout, opname):
-    """The full Pallas split kernel (interpret on CPU) vs jnp u64."""
+    """The actual Pallas split kernel -- via the pair-word entry, the only
+    route that runs it (P.binop dispatches u64 to the jnp path) -- vs the
+    jnp u64 formulas, every op x every layout."""
     a = _rand_u64(layout, 1000, 4)
     b = _rand_u64(layout, 1000, 5)
-    expected = np.asarray(getattr(W, opname)(layout, a, b))
-    got = np.asarray(P.binop(layout, opname)(a, b))
+    expected = _to_pair_np(getattr(W, opname)(layout, a, b))
+    got = np.asarray(
+        P.binop_pair(layout, opname)(
+            jnp.asarray(_to_pair_np(a)), jnp.asarray(_to_pair_np(b))
+        )
+    )
     np.testing.assert_array_equal(expected, got)
 
 
@@ -115,9 +129,27 @@ def test_pallas_split_binop_parity(layout, opname):
 def test_pallas_split_shift_parity(opname, amount):
     layout = PackedLayout(20, 20, 24)
     v = _rand_u64(layout, 777, 6)
-    expected = np.asarray(getattr(W, opname)(layout, v, amount))
-    got = np.asarray(P.shift(layout, opname)(v, amount))
+    expected = _to_pair_np(getattr(W, opname)(layout, v, amount))
+    got = np.asarray(
+        P.shift_pair(layout, opname)(jnp.asarray(_to_pair_np(v)), amount)
+    )
     np.testing.assert_array_equal(expected, got)
+
+
+@pytest.mark.parametrize("opname", ["add_unsigned_saturate", "shift_left"])
+def test_u64_dispatch_is_jnp_path(opname):
+    """P.binop/P.shift on u64 layouts return the jnp/XLA path (fastest
+    measured -- see BENCH_sweep u64_family) and agree with the formulas."""
+    layout = PackedLayout(*([8] * 8))
+    a = _rand_u64(layout, 256, 30)
+    b = _rand_u64(layout, 256, 31)
+    if opname in P.SHIFT_NAMES:
+        expected = getattr(W, opname)(layout, a, 9)
+        got = P.shift(layout, opname)(a, 9)
+    else:
+        expected = getattr(W, opname)(layout, a, b)
+        got = P.binop(layout, opname)(a, b)
+    np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
 
 
 @pytest.mark.parametrize("signed", [False, True])
@@ -134,14 +166,6 @@ def test_pallas_split_saturating_accumulate(signed):
         acc, deltas
     )
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
-
-
-def _to_pair_np(w):
-    """Planar (2, ...) pair words: [0]=low half, [1]=high half."""
-    w = np.asarray(w)
-    return np.stack(
-        [w & np.uint64(0xFFFFFFFF), w >> np.uint64(32)], axis=0
-    ).astype(np.uint32)
 
 
 @pytest.mark.parametrize("opname", ["add_signed_saturate", "min_unsigned"])
@@ -177,7 +201,11 @@ def test_pallas_split_2d_shapes():
     layout = PackedLayout(7, 7, 9, 9, 11, 12)
     a = _rand_u64(layout, 31 * 41, 10).reshape(31, 41)
     b = _rand_u64(layout, 31 * 41, 11).reshape(31, 41)
-    expected = W.min_signed(layout, a, b)
-    got = P.binop(layout, "min_signed")(a, b)
-    assert got.shape == expected.shape and got.dtype == expected.dtype
-    np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+    expected = _to_pair_np(W.min_signed(layout, a, b))
+    got = np.asarray(
+        P.binop_pair(layout, "min_signed")(
+            jnp.asarray(_to_pair_np(a)), jnp.asarray(_to_pair_np(b))
+        )
+    )
+    assert got.shape == (2, 31, 41) and got.dtype == np.uint32
+    np.testing.assert_array_equal(expected, got)
