@@ -4,6 +4,7 @@ from pint_tpu.mpc.condensed import (
     condense_double_integrator,
     condense_lti,
     condense_ltv,
+    dare_terminal,
     quantize,
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
@@ -21,6 +22,7 @@ __all__ = [
     "condense_double_integrator",
     "condense_lti",
     "condense_ltv",
+    "dare_terminal",
     "quantize",
     "FixedPointPGD",
     "AcceleratedPGD",

@@ -39,6 +39,7 @@ __all__ = [
     "condense_ltv",
     "condense_ltv_batch",
     "condense_double_integrator",
+    "dare_terminal",
     "quantize",
 ]
 
@@ -301,6 +302,49 @@ def condense_ltv_batch(
     g_ref += np.einsum("bjn,bj->bn", BQT, Cx[:, T - 1], optimize=True)
     lip = np.linalg.eigvalsh(H)[:, -1]
     return H, G, g_ref, lip
+
+
+def dare_terminal(
+    A: np.ndarray,
+    B: np.ndarray,
+    Q: np.ndarray,
+    R,
+    iters: int = 1000,
+    tol: float = 1e-10,
+) -> np.ndarray:
+    """Terminal weight P from the discrete algebraic Riccati equation.
+
+    Fixed-point iteration of
+    P <- Q + A^T (P - P B (R + B^T P B)^-1 B^T P) A.
+    Using P as the MPC terminal cost (instead of a heuristic qf_scale * Q)
+    makes the finite-horizon controller inherit the infinite-horizon LQR's
+    stability margin, which is what lets regulation horizons stay SHORT --
+    the regime where condensation of unstable plants is well-conditioned
+    and the fixed-point PGD converges in tens of iterations.
+
+    For nonlinear models, call with the linearization at the operating
+    point (e.g. ``model.linearize(x_ref, u=0)`` scaled to lane units).
+    """
+    A = np.atleast_2d(np.asarray(A, float))
+    B = np.asarray(B, float).reshape(A.shape[0], -1)
+    m = B.shape[1]
+    R = np.eye(m) * R if np.isscalar(R) else np.asarray(R, float)
+    Q = np.asarray(Q, float)
+    P = Q.copy()
+    for _ in range(iters):
+        BtP = B.T @ P
+        K = np.linalg.solve(R + BtP @ B, BtP @ A)
+        P_next = Q + A.T @ P @ (A - B @ K)
+        P_next = 0.5 * (P_next + P_next.T)
+        if not np.isfinite(P_next).all() or np.abs(P_next).max() > 1e12:
+            break  # diverging: unstabilizable pair
+        if np.abs(P_next - P).max() < tol * max(1.0, np.abs(P).max()):
+            return P_next
+        P = P_next
+    raise ValueError(
+        "DARE iteration did not converge: the linearized pair (A, B) may "
+        "not be stabilizable within the control budget"
+    )
 
 
 def condense_double_integrator(

@@ -66,6 +66,9 @@ class DeviceSQP:
         default_factory=lambda: np.diag([0.02, 0.02])
     )
     qf_scale: float = 20.0
+    Qf: object = None
+    """Explicit terminal weight (overrides qf_scale * Q); see
+    mpc.condensed.dare_terminal."""
     x_ref: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3)
     )
@@ -73,6 +76,12 @@ class DeviceSQP:
     pgd_iters: int = 40
     g_shift: int = 12
     power_iters: int = 16
+
+    @functools.cached_property
+    def _Qf(self) -> np.ndarray:
+        if self.Qf is not None:
+            return np.asarray(self.Qf, float)
+        return self.qf_scale * np.asarray(self.Q, float)
 
     def __post_init__(self):
         if self.n_dec % 4:
@@ -109,7 +118,7 @@ class DeviceSQP:
         Tm = self.n_dec
         s = jnp.asarray(self._lane_scales, jnp.float32)
         Q = jnp.asarray(self.Q, jnp.float32)
-        Qf = jnp.asarray(self.qf_scale * np.asarray(self.Q), jnp.float32)
+        Qf = jnp.asarray(self._Qf, jnp.float32)
         R_lane_np = (
             self._lane_scales[:, None]
             * np.asarray(self.R)

@@ -132,6 +132,11 @@ class QuantizedSQP:
         default_factory=lambda: np.diag([0.02, 0.02])
     )
     qf_scale: float = 20.0
+    Qf: Optional[np.ndarray] = None
+    """Explicit terminal weight; overrides ``qf_scale * Q`` when given.
+    Pass :func:`pint_tpu.mpc.condensed.dare_terminal` of the linearization
+    at the operating point to inherit the infinite-horizon LQR margin
+    (enables short, well-conditioned horizons for regulation)."""
     x_ref: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3)
     )
@@ -139,6 +144,12 @@ class QuantizedSQP:
     pgd_iters: int = 40
     g_shift: int = 12
     pad_to: int = 64
+
+    @functools.cached_property
+    def _Qf(self) -> np.ndarray:
+        if self.Qf is not None:
+            return np.asarray(self.Qf, float)
+        return self.qf_scale * np.asarray(self.Q, float)
 
     def __post_init__(self):
         if self.pad_to % 4 or self.pad_to < 4:
@@ -258,7 +269,7 @@ class QuantizedSQP:
         R_lane = s[:, None] * np.asarray(self.R) * s[None, :]
         H, G, g_ref, lip = condense_ltv_batch(
             A_seq, B_seq * s, c_seq, Q, R_lane,
-            self.qf_scale * Q, np.asarray(self.x_ref, float),
+            self._Qf, np.asarray(self.x_ref, float),
         )
         # vectorized quantize() (same per-problem formulas; u_scale = 1)
         Tp = self.padded
@@ -316,7 +327,7 @@ class QuantizedSQP:
         self._check_dims(n)
         x_ref = np.broadcast_to(np.asarray(self.x_ref, float), (T, n))
         dx = traj[:, 1:] - x_ref
-        Qs = np.stack([np.asarray(self.Q)] * (T - 1) + [self.qf_scale * np.asarray(self.Q)])
+        Qs = np.stack([np.asarray(self.Q)] * (T - 1) + [self._Qf])
         state_cost = np.einsum("bki,kij,bkj->b", dx, Qs, dx)
         ctrl_cost = np.einsum("bki,ij,bkj->b", u_phys, np.asarray(self.R), u_phys)
         return state_cost + ctrl_cost
@@ -351,8 +362,7 @@ class QuantizedSQP:
                 qp = condense_ltv(
                     A_seq, B_seq * s, c_seq, np.asarray(self.Q),
                     s[:, None] * np.asarray(self.R) * s[None, :],
-                    self.qf_scale * np.asarray(self.Q),
-                    self.x_ref, u_max=127.0,
+                    self._Qf, self.x_ref, u_max=127.0,
                 )
                 g = qp.G @ x0_f[i] + qp.g_ref
                 alpha = 1.0 / qp.lipschitz

@@ -194,3 +194,33 @@ def test_condense_ltv_batch_matches_scalar():
         np.testing.assert_allclose(G[b], qp.G, rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(g_ref[b], qp.g_ref, rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(lip[b], qp.lipschitz, rtol=1e-10)
+
+
+def test_dare_terminal_fixed_point_and_short_horizon():
+    """dare_terminal solves the DARE (fixed-point residual ~0) and, used as
+    the terminal weight, lets a T=8 regulator match what the qf heuristic
+    needs T=32 for (the short-horizon enabler for unstable plants)."""
+    from pint_tpu.models import Pendulum
+    from pint_tpu.mpc import SQPController, dare_terminal
+
+    m = Pendulum(u_shift=10)
+    A, B = m.linearize(np.zeros(2), np.zeros(1))
+    s = m.lane_scales
+    Q = np.diag([1.0, 0.05])
+    R_lane = s[:, None] * np.array([[0.02]]) * s[None, :]
+    P = dare_terminal(A, B * s, Q, R_lane)
+    # Riccati residual
+    BtP = (B * s).T @ P
+    K = np.linalg.solve(R_lane + BtP @ (B * s), BtP @ A)
+    resid = Q + A.T @ P @ (A - (B * s) @ K) - P
+    assert np.abs(resid).max() < 1e-8
+
+    sqp = QuantizedSQP(
+        model=m, horizon=8, sqp_iters=1, pgd_iters=40,
+        Q=Q, R=np.array([[0.02]]), Qf=P, x_ref=np.zeros(2), pad_to=8,
+    )
+    ctl = SQPController(sqp, iters_per_tick=1)
+    states, _ = ctl.run(np.array([[0.06, 0.0], [-0.07, 0.15]]), ticks=96)
+    thf = m.to_float(states)
+    # heuristic qf_scale=40 at T=8 plateaus ~2.3e-3; DARE reaches ~1e-4
+    assert np.abs(thf[:, -30:, 0]).max() < 5e-4
