@@ -27,7 +27,7 @@ from pint_tpu.models.dynamics import unpack_controls
 from pint_tpu.mpc.condensed import QuantizedQP
 from pint_tpu.mpc.solver import FixedPointPGD
 
-__all__ = ["MPCService"]
+__all__ = ["MPCService", "RTIService"]
 
 
 @dataclasses.dataclass
@@ -110,6 +110,75 @@ class MPCService:
             lanes_np = np.where(bad[:, None], 0, lanes_np)
         self._warm = warm
         return lanes_np.astype(np.float64) * self.qqp.u_scale
+
+    def reset(self) -> None:
+        self._warm = self._zero
+
+
+class RTIService:
+    """Persistent nonlinear MPC endpoint: warm-started real-time iterations
+    of the on-device SQP (:class:`pint_tpu.mpc.DeviceSQP`) per tick.
+
+    The nonlinear counterpart of :class:`MPCService`: the service owns the
+    compiled device program (rollout + linearize + condense + quantize +
+    fixed-point PGD, one XLA executable) and the packed warm plans; each
+    tick accepts plain numpy physical states and returns the first control
+    of every re-optimized plan, then shifts the plans one step.
+
+    Validation/self-healing matches MPCService: non-finite input rows get
+    their warm plan reset and a zero control back (the device path's
+    non-finite guard already prevents NaN poisoning; the reset stops a
+    corrupted tick's plan from warm-starting the next one).
+    """
+
+    def __init__(self, sqp, batch: int):
+        """``sqp``: a configured DeviceSQP; set its ``sqp_iters`` to the
+        per-tick RTI count (1 for classic RTI)."""
+        self.sqp = sqp
+        self.batch = batch
+        self.m = sqp.n_ctrl
+        self._zero = sqp.init_words(batch)
+        self._warm = self._zero
+        self.stats = ServiceStats()
+
+        m, n_dec = self.m, sqp.n_dec
+
+        @jax.jit
+        def tick(words, x0_f):
+            words = sqp._solve_jit(words, x0_f)
+            lanes = unpack_controls(words)
+            u0 = lanes[:, :m]
+            shifted = jnp.concatenate(
+                [lanes[:, m:n_dec], jnp.zeros_like(lanes[:, :m])], axis=-1
+            )
+            from pint_tpu.models.dynamics import pack_controls
+
+            return pack_controls(shifted), u0
+
+        self._tick = tick
+
+    def solve(self, x0_phys: np.ndarray) -> np.ndarray:
+        """One tick: (batch, n) physical states -> (batch, m) physical
+        first controls of the freshly re-optimized plans."""
+        x0 = np.atleast_2d(np.asarray(x0_phys, np.float64))
+        if x0.shape[0] != self.batch:
+            raise ValueError(
+                f"service compiled for batch {self.batch}, got {x0.shape[0]}"
+            )
+        t0 = time.perf_counter()
+        warm, u0 = self._tick(self._warm, jnp.asarray(x0, jnp.float32))
+        u0_np = np.asarray(u0)
+        self.stats.last_latency_s = time.perf_counter() - t0
+        self.stats.ticks += 1
+
+        bad = ~np.isfinite(x0).all(axis=-1)
+        if bad.any():
+            self.stats.resets += int(bad.sum())
+            keep = jnp.asarray(~bad)[:, None]
+            warm = jnp.where(keep, warm, self._zero)
+            u0_np = np.where(bad[:, None], 0, u0_np)
+        self._warm = warm
+        return u0_np.astype(np.float64) * np.asarray(self.sqp._lane_scales)
 
     def reset(self) -> None:
         self._warm = self._zero

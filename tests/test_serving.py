@@ -40,3 +40,67 @@ def test_service_heals_bad_rows(service):
     # subsequent normal ticks continue fine
     u2 = service.solve(np.zeros((8, 2)))
     assert np.isfinite(u2).all()
+
+
+# -- nonlinear RTI service -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rti_service():
+    from pint_tpu.models import Pendulum
+    from pint_tpu.mpc import DeviceSQP, dare_terminal
+    from pint_tpu.serving import RTIService
+
+    m = Pendulum(u_shift=10)
+    A, B = m.linearize(np.zeros(2), np.zeros(1))
+    s = m.lane_scales
+    Q = np.diag([1.0, 0.05])
+    P = dare_terminal(A, B * s, Q, s[:, None] * np.array([[0.02]]) * s)
+    sqp = DeviceSQP(
+        model=m, horizon=8, sqp_iters=1, pgd_iters=40,
+        Q=Q, R=np.array([[0.02]]), Qf=P, x_ref=np.zeros(2),
+    )
+    return RTIService(sqp, batch=4), m
+
+
+def test_rti_service_regulates(rti_service):
+    """Driving the quantized plant with the service's per-tick controls
+    regulates near-upright starts to ~zero (classic RTI serving loop)."""
+    import jax.numpy as jnp
+
+    svc, m = rti_service
+    svc.reset()
+    state = m.to_fixed(
+        np.array([[0.05, 0.0], [-0.06, 0.1], [0.03, -0.1], [0.0, 0.2]])
+    )
+    state = jnp.asarray(state)
+    for _ in range(96):
+        x_f = m.to_float(np.asarray(state))
+        u_phys = svc.solve(x_f)                   # (4, 1) physical torque
+        lanes = np.round(u_phys[:, 0] / m.u_scale).astype(np.int32)
+        state = m.step(state, jnp.asarray(lanes))
+    final = m.to_float(np.asarray(state))
+    assert np.abs(final[:, 0]).max() < 5e-3, final
+    assert svc.stats.ticks == 96 and svc.stats.resets == 0
+
+
+def test_rti_service_self_heals(rti_service):
+    svc, m = rti_service
+    svc.reset()
+    good = np.array([[0.05, 0.0]] * 4)
+    svc.solve(good)
+    corrupted = good.copy()
+    corrupted[2] = np.nan
+    u = svc.solve(corrupted)
+    assert svc.stats.resets == 1
+    assert (u[2] == 0).all()          # corrupted row answers zero control
+    assert np.isfinite(u).all()
+    # subsequent clean tick proceeds normally
+    u2 = svc.solve(good)
+    assert np.isfinite(u2).all()
+
+
+def test_rti_service_batch_mismatch(rti_service):
+    svc, _ = rti_service
+    with pytest.raises(ValueError, match="batch"):
+        svc.solve(np.zeros((3, 2)))
