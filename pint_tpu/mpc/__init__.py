@@ -8,6 +8,12 @@ from pint_tpu.mpc.condensed import (
     quantize,
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
+from pint_tpu.mpc.constrained import (
+    ConstrainedPGD,
+    StateConstrainedQP,
+    constrain_states,
+    quantize_constrained,
+)
 from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
 from pint_tpu.mpc.device_sqp import DeviceSQP
 from pint_tpu.mpc.fused import FusedPGD
@@ -26,6 +32,10 @@ __all__ = [
     "quantize",
     "FixedPointPGD",
     "AcceleratedPGD",
+    "ConstrainedPGD",
+    "StateConstrainedQP",
+    "constrain_states",
+    "quantize_constrained",
     "FusedPGD",
     "RecedingHorizonController",
     "LTIController",

@@ -29,16 +29,24 @@ is tolerance-checked against, mirroring ``CondensedQP.solve_pgd``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from pint_tpu.mpc.condensed import CondensedQP
+from pint_tpu.mpc.condensed import CondensedQP, QuantizedQP, quantize
 
 __all__ = [
     "StateConstrainedQP",
+    "QuantizedConstrainedQP",
+    "ConstrainedPGD",
     "constrain_states",
+    "quantize_constrained",
 ]
+
+Array = jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,3 +186,311 @@ def constrain_states(
         hi=np.tile(hi, T),
         penalty_lipschitz=pen_lip,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized device tier
+# ---------------------------------------------------------------------------
+
+# fixed-point geometry of the constraint plane ("c-pre" units):
+#   c_phys = c_pre * c_unit, with c_unit = c_ref / 2**C_BITS so that the
+#   reachable |S U| range spans ~2**(C_BITS-1).  All constraint-side state
+#   (bounds, offsets, multipliers, violations) is int32 in these units.
+_C_BITS = 20
+_LAM_CAP = np.int32(1 << 22)      # |lam/rho| cap in c-pre units (safeguarded ALM)
+_CX0_CAP = 1 << 22                # host-side clip of the x0-dependent offset
+_Y_BITS = 13                      # y is split into two int8 planes (14-bit total)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedConstrainedQP:
+    """Fixed-point operands for the device ALM solver.
+
+    The objective side reuses :class:`QuantizedQP` quantized at the
+    penalty-augmented step 1/(L_H + rho * L_S); the constraint side adds an
+    int8 row matrix ``Sq`` and the int32 rational ladders that move values
+    between the matmul-accumulator, c-pre and pre-shift-lane-unit scales:
+
+      c_pre     = (lanes @ Sq^T) * cs_num >> cs_den        (+ cx0_pre)
+      y14       = (t - clip(t, lo, hi) + ef) >> y_shift    (14-bit, EF carried)
+      extra_pre = (y_hi @ Sq) * eh_num >> eh_den
+                + (y_lo @ Sq) * el_num >> el_den           (penalty gradient)
+
+    Every rational numerator is budgeted so the int32 product of the worst-
+    case accumulator magnitude cannot overflow (same discipline as
+    ``QuantizedQP.hs_num``, condensed.py).
+    """
+
+    scqp: StateConstrainedQP
+    qqp: QuantizedQP
+    rho: float
+    Sq: np.ndarray          # (Cp, Tp) int8
+    s_scale: float
+    c_unit: float
+    cs_num: int
+    cs_den: int
+    eh_num: int
+    eh_den: int
+    el_num: int
+    el_den: int
+    y_shift: int
+    lo_pre: np.ndarray      # (Cp,) int32 (padded rows get wide sentinels)
+    hi_pre: np.ndarray
+    n_rows: int             # C (unpadded)
+    padded_rows: int        # Cp
+
+    def c_off_pre(self, x0_phys: np.ndarray) -> np.ndarray:
+        """int32 x0-dependent constraint offset (P x0 + r) in c-pre units,
+        padded; the per-solve host prep mirroring QuantizedQP.g_lane_fixed."""
+        sc = self.scqp
+        x0 = np.atleast_2d(np.asarray(x0_phys, np.float64))
+        off = x0 @ sc.P.T + sc.r
+        off = np.nan_to_num(off / self.c_unit, posinf=_CX0_CAP, neginf=-_CX0_CAP)
+        off = np.clip(np.round(off), -_CX0_CAP, _CX0_CAP).astype(np.int32)
+        pad = self.padded_rows - self.n_rows
+        if pad:
+            off = np.concatenate(
+                [off, np.zeros(off.shape[:-1] + (pad,), np.int32)], axis=-1
+            )
+        return off
+
+
+def _rational(value: float, acc_max: int, budget: int, what: str):
+    """Largest-denominator int32 rational num/2**den ~ value such that
+    |acc| <= acc_max keeps acc*num within ``budget`` (condensed.py:404-419
+    discipline, with a configurable budget for multi-term sums)."""
+    num_max = budget // acc_max
+    if num_max < 1 or value <= 0:
+        raise ValueError(f"{what}: scale {value!r} unrepresentable")
+    den = max(0, min(31, int(np.floor(np.log2(num_max / value)))))
+    num = int(round(value * 2**den))
+    if num < 1 or num > num_max:
+        raise ValueError(
+            f"{what}: scale {value!r} out of the int32 rational budget "
+            f"(num={num}, max={num_max}); rescale the problem or rho"
+        )
+    return num, den
+
+
+def quantize_constrained(
+    scqp: StateConstrainedQP,
+    rho: float = 50.0,
+    g_shift: int = 12,
+    pad_to: int = 64,
+) -> QuantizedConstrainedQP:
+    """Quantize a state-constrained QP for the int8-MXU ALM solver."""
+    qp = scqp.qp
+    # the inner problem's curvature includes the penalty Hessian rho S^T S;
+    # folding the augmented Lipschitz into a derived CondensedQP reuses the
+    # whole objective-side quantization path unchanged
+    lip = qp.lipschitz + rho * scqp.penalty_lipschitz
+    qp_aug = CondensedQP(
+        H=qp.H, G=qp.G, g_ref=qp.g_ref, u_max=qp.u_max, lipschitz=lip
+    )
+    qqp = quantize(qp_aug, g_shift=g_shift, pad_to=pad_to)
+    alpha = 1.0 / lip
+
+    C, Tm = scqp.S.shape
+    Tp = qqp.padded
+    Cp = -(-C // pad_to) * pad_to
+    s_scale = float(np.abs(scqp.S).max()) / 127.0
+    if s_scale == 0.0:
+        raise ValueError("constraint matrix S is identically zero")
+    Sq = np.zeros((Cp, Tp), np.int8)
+    Sq[:C, :Tm] = np.round(scqp.S / s_scale).astype(np.int8)
+
+    # c-pre geometry: c_ref spans the reachable |S U| plus the bound range
+    row_amp = float(np.abs(scqp.S).sum(axis=1).max()) * qp.u_max
+    b_amp = float(max(np.abs(scqp.lo).max(), np.abs(scqp.hi).max()))
+    c_ref = 2.0 * (row_amp + b_amp)
+    c_unit = c_ref / float(1 << _C_BITS)
+
+    # lanes @ Sq^T accumulator -> c-pre
+    cs_f = qqp.u_scale * s_scale / c_unit
+    cs_num, cs_den = _rational(cs_f, 127 * 127 * Tp, 2**31 - 1, "cs")
+
+    # y-split matmul accumulators -> pre-shift lane units.  y14 is exact
+    # (y_hi*128 + y_lo); worst-case |t| sets the shift so y14 fits 14 bits.
+    t_amp = float(1 << (_C_BITS - 1)) + float(_CX0_CAP) + float(_LAM_CAP)
+    y_shift = max(0, int(np.ceil(np.log2(t_amp * 2.0))) - _Y_BITS)
+    base = rho * s_scale * float(1 << y_shift) * c_unit * alpha / qqp.u_scale
+    base *= float(1 << g_shift)
+    # each term gets half the int32 budget so their sum cannot overflow
+    eh_num, eh_den = _rational(base * 128.0, 64 * 127 * Cp, 2**30 - 1, "eh")
+    el_num, el_den = _rational(base, 127 * 127 * Cp, 2**30 - 1, "el")
+
+    sent = np.int32(1 << 30)
+    lo_pre = np.full(Cp, -sent, np.int32)
+    hi_pre = np.full(Cp, sent, np.int32)
+    lo_pre[:C] = np.clip(np.round(scqp.lo / c_unit), -sent, sent)
+    hi_pre[:C] = np.clip(np.round(scqp.hi / c_unit), -sent, sent)
+
+    return QuantizedConstrainedQP(
+        scqp=scqp,
+        qqp=qqp,
+        rho=rho,
+        Sq=Sq,
+        s_scale=s_scale,
+        c_unit=c_unit,
+        cs_num=cs_num,
+        cs_den=cs_den,
+        eh_num=eh_num,
+        eh_den=eh_den,
+        el_num=el_num,
+        el_den=el_den,
+        y_shift=y_shift,
+        lo_pre=lo_pre,
+        hi_pre=hi_pre,
+        n_rows=C,
+        padded_rows=Cp,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstrainedPGD:
+    """Device ALM solver: outer multiplier updates around an error-feedback
+    fixed-point PGD inner loop, one XLA program, integer end to end.
+
+    Per inner iteration: two int8 MXU matmuls on the objective side
+    (``lanes @ Hq^T``) and constraint side (``lanes @ Sq^T``), the split
+    penalty-gradient matmuls (``y_hi/y_lo @ Sq``), int32 VPU rescales, and
+    the saturating packed-word update (add_signed_saturate + max_signed) --
+    the same substrate as :class:`pint_tpu.mpc.solver.FixedPointPGD` with
+    the constraint plane alongside.  Bit-deterministic: pure integer ops,
+    so dp-sharding over a mesh reproduces the single-device words exactly.
+    """
+
+    qcqp: QuantizedConstrainedQP
+    outer: int = 10
+    inners: int = 40
+
+    @property
+    def _q(self) -> QuantizedQP:
+        return self.qcqp.qqp
+
+    @functools.cached_property
+    def _lower_word(self) -> np.ndarray:
+        from pint_tpu.models.dynamics import CONTROL_LAYOUT
+
+        w = 0
+        for off in CONTROL_LAYOUT.offsets:
+            w |= (-127 & 0xFF) << off
+        return np.uint32(w)
+
+    def init_words(self, batch: int) -> Array:
+        return jnp.zeros((batch, self._q.padded // 4), jnp.uint32)
+
+    # -- device program ------------------------------------------------------
+
+    def _c_pre(self, lanes: Array) -> Array:
+        q = self.qcqp
+        acc = jax.lax.dot_general(
+            lanes.astype(jnp.int8),
+            jnp.asarray(q.Sq),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, Cp)
+        return (acc * np.int32(q.cs_num)) >> np.int32(q.cs_den)
+
+    def solve_words(
+        self, u_words: Array, g_pre: Array, c_off: Array
+    ) -> Tuple[Array, Array]:
+        """Run ``outer`` multiplier updates x ``inners`` PGD steps.
+
+        u_words (B, Tp/4) uint32; g_pre (B, Tp) int32 (QuantizedQP.
+        g_lane_fixed); c_off (B, Cp) int32 (QuantizedConstrainedQP.
+        c_off_pre).  Returns (words, lam_pre) -- multipliers in c-pre
+        units (lam/rho).  Pure: jit/vmap/shard_map safe.
+        """
+        from pint_tpu.models.dynamics import pack_controls, unpack_controls
+        from pint_tpu.models.dynamics import CONTROL_LAYOUT
+        from pint_tpu.ops import word as W
+
+        q = self.qcqp
+        qq = self._q
+        Hq = jnp.asarray(qq.Hq)
+        Sq = jnp.asarray(q.Sq)
+        lo = jnp.asarray(q.lo_pre)
+        hi = jnp.asarray(q.hi_pre)
+        half = np.int32(1 << (qq.g_shift - 1))
+        y_half = np.int32(1 << q.y_shift >> 1) if q.y_shift else np.int32(0)
+        y_cap = np.int32((1 << _Y_BITS) - 1)
+        lower = jnp.broadcast_to(
+            jnp.full((1,), self._lower_word, jnp.uint32), u_words.shape
+        )
+
+        def inner(_, st):
+            words, carry, ey, lam = st
+            lanes = unpack_controls(words)
+            acc = jax.lax.dot_general(
+                lanes.astype(jnp.int8), Hq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            pre = (acc * np.int32(qq.hs_num)) >> np.int32(qq.hs_den)
+            t = self._c_pre(lanes) + c_off + lam
+            y = t - jnp.clip(t, lo, hi) + ey
+            y14 = jnp.clip(
+                (y + y_half) >> np.int32(q.y_shift), -y_cap, y_cap
+            )
+            ey = y - (y14 << np.int32(q.y_shift))
+            y_hi = y14 >> np.int32(7)
+            y_lo = y14 - (y_hi << np.int32(7))
+            acc_h = jax.lax.dot_general(
+                y_hi.astype(jnp.int8), Sq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_l = jax.lax.dot_general(
+                y_lo.astype(jnp.int8), Sq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            extra = ((acc_h * np.int32(q.eh_num)) >> np.int32(q.eh_den)) + (
+                (acc_l * np.int32(q.el_num)) >> np.int32(q.el_den)
+            )
+            step = -(pre + g_pre + extra) + carry
+            delta = jnp.clip((step + half) >> np.int32(qq.g_shift), -128, 127)
+            carry = step - (delta << np.int32(qq.g_shift))
+            words = W.add_signed_saturate(
+                CONTROL_LAYOUT, words, pack_controls(delta)
+            )
+            words = W.max_signed(CONTROL_LAYOUT, words, lower)
+            return words, carry, ey, lam
+
+        def outer(_, st):
+            words, carry, ey, lam = st
+            words, carry, ey, lam = jax.lax.fori_loop(
+                0, self.inners, inner, (words, carry, ey, lam)
+            )
+            # multiplier update at the inner solution: lam/rho <- t - Pi(t),
+            # computed from the EXACT int32 violation (no y-quantization)
+            t = self._c_pre(unpack_controls(words)) + c_off + lam
+            lam = jnp.clip(t - jnp.clip(t, lo, hi), -_LAM_CAP, _LAM_CAP)
+            return words, carry, ey, lam
+
+        # device-varying zero inits (shard_map's varying-manual-axes check
+        # rejects literal-zero carries; derive them from the inputs)
+        carry0 = g_pre ^ g_pre
+        lam0 = c_off ^ c_off
+        words, _, _, lam = jax.lax.fori_loop(
+            0, self.outer, outer, (u_words, carry0, lam0, lam0)
+        )
+        return words, lam
+
+    # -- host conveniences ----------------------------------------------------
+
+    def solve(self, x0_phys: np.ndarray) -> Tuple[Array, Array, Array]:
+        """End-to-end batched solve: (words, U_phys (B, T) f32, lam_pre)."""
+        from pint_tpu.models.dynamics import unpack_controls
+
+        x0 = np.atleast_2d(x0_phys)
+        g_pre = jnp.asarray(self._q.g_lane_fixed(x0))
+        c_off = jnp.asarray(self.qcqp.c_off_pre(x0))
+        words, lam = jax.jit(self.solve_words)(
+            self.init_words(x0.shape[0]), g_pre, c_off
+        )
+        lanes = unpack_controls(words)[:, : self._q.horizon]
+        return words, lanes.astype(jnp.float32) * np.float32(
+            self._q.u_scale
+        ), lam

@@ -144,3 +144,111 @@ def test_constrain_states_validation():
         constrain_states(qp, A_seq, B_seq, None, [[0.0, 1.0, 2.0]], -1, 1)
     with pytest.raises(ValueError):
         constrain_states(qp, A_seq, B_seq, None, [[0.0, 1.0]], 1.0, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# Quantized device tier
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+
+from pint_tpu.mpc.constrained import ConstrainedPGD, quantize_constrained
+
+RHO = 50.0
+
+
+def _device_setup(outer=12, inners=60):
+    qp, sc = _di_problem()
+    qc = quantize_constrained(sc, rho=RHO)
+    return qp, sc, ConstrainedPGD(qc, outer=outer, inners=inners)
+
+
+X0 = np.array([[-1.0, 0.0], [0.8, -0.1], [0.0, 0.2], [0.3, 0.24]])
+
+
+def test_device_matches_float64_alm():
+    """The int8/int32 device ALM tracks the float64 reference at the same
+    (rho, outer, inners): cost gap under 0.5%, feasibility within the same
+    band the reference itself achieves at this budget."""
+    qp, sc, solver = _device_setup()
+    _, U, lam = solver.solve(X0)
+    U = np.asarray(U, np.float64)
+    U_ref, _ = sc.solve_alm(X0, rho=RHO, outer=12, inners=60)
+    g0 = X0 @ qp.G.T + qp.g_ref
+    cost = lambda u: 0.5 * np.einsum("bi,ij,bj->b", u, qp.H, u) + np.einsum(
+        "bi,bi->b", g0, u
+    )
+    gap = np.abs(cost(U) - cost(U_ref)) / np.abs(cost(U_ref))
+    assert gap.max() < 5e-3, gap
+    c = sc.constraint(U, X0)
+    viol = np.maximum(c - sc.hi, 0).max() + np.maximum(sc.lo - c, 0).max()
+    c_ref = sc.constraint(U_ref, X0)
+    viol_ref = np.maximum(c_ref - sc.hi, 0).max() + np.maximum(
+        sc.lo - c_ref, 0
+    ).max()
+    assert viol < viol_ref + 5e-3, (viol, viol_ref)
+
+
+def test_device_constraint_engages():
+    """Constrained device plan respects the velocity limit the unconstrained
+    device solver blows through."""
+    from pint_tpu.mpc import FixedPointPGD, quantize
+
+    qp, sc, solver = _device_setup()
+    x0 = np.array([[-1.0, 0.0]])
+    unc = FixedPointPGD(quantize(qp), iters=200)
+    _, U_unc = unc.solve(x0)
+    assert np.abs(sc.constraint(np.asarray(U_unc, np.float64), x0)).max() > 0.5
+    _, U, lam = solver.solve(x0)
+    c = sc.constraint(np.asarray(U, np.float64), x0)
+    assert np.abs(c).max() < 0.25 + 1e-2
+    assert int(jnp.abs(lam).max()) > 0
+
+
+def test_device_deterministic():
+    _, _, solver = _device_setup(outer=4, inners=20)
+    w1, _, l1 = solver.solve(X0)
+    w2, _, l2 = solver.solve(X0)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("dp", [2, 4, 8])
+def test_device_dp_sharded_bit_identical(dp):
+    """Pure-integer solver: shard_map over a dp mesh reproduces the
+    single-device packed words exactly on every mesh shape."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    _, _, solver = _device_setup(outer=6, inners=25)
+    x0 = np.concatenate([X0, -X0], axis=0)  # batch 8
+    g = jnp.asarray(solver._q.g_lane_fixed(x0))
+    co = jnp.asarray(solver.qcqp.c_off_pre(x0))
+    u0 = solver.init_words(x0.shape[0])
+
+    w1, l1 = jax.jit(solver.solve_words)(u0, g, co)
+
+    mesh = Mesh(np.array(jax.devices()[:dp]), ("dp",))
+    fn = shard_map(
+        solver.solve_words,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+    )
+    w2, l2 = jax.jit(fn)(u0, g, co)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_quantize_constrained_validation():
+    qp, sc = _di_problem()
+    zero_sc = dataclasses_replace_S(sc)
+    with pytest.raises(ValueError):
+        quantize_constrained(zero_sc, rho=RHO)
+
+
+def dataclasses_replace_S(sc):
+    import dataclasses as _dc
+
+    return _dc.replace(sc, S=np.zeros_like(sc.S))
