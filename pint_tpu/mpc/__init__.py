@@ -9,6 +9,7 @@ from pint_tpu.mpc.condensed import (
 )
 from pint_tpu.mpc.accelerated import AcceleratedPGD
 from pint_tpu.mpc.constrained import (
+    ConstrainedController,
     ConstrainedPGD,
     StateConstrainedQP,
     constrain_states,
@@ -32,6 +33,7 @@ __all__ = [
     "quantize",
     "FixedPointPGD",
     "AcceleratedPGD",
+    "ConstrainedController",
     "ConstrainedPGD",
     "StateConstrainedQP",
     "constrain_states",

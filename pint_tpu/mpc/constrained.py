@@ -42,6 +42,7 @@ __all__ = [
     "StateConstrainedQP",
     "QuantizedConstrainedQP",
     "ConstrainedPGD",
+    "ConstrainedController",
     "constrain_states",
     "quantize_constrained",
 ]
@@ -393,14 +394,20 @@ class ConstrainedPGD:
         return (acc * np.int32(q.cs_num)) >> np.int32(q.cs_den)
 
     def solve_words(
-        self, u_words: Array, g_pre: Array, c_off: Array
+        self,
+        u_words: Array,
+        g_pre: Array,
+        c_off: Array,
+        lam0: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """Run ``outer`` multiplier updates x ``inners`` PGD steps.
 
         u_words (B, Tp/4) uint32; g_pre (B, Tp) int32 (QuantizedQP.
         g_lane_fixed); c_off (B, Cp) int32 (QuantizedConstrainedQP.
-        c_off_pre).  Returns (words, lam_pre) -- multipliers in c-pre
-        units (lam/rho).  Pure: jit/vmap/shard_map safe.
+        c_off_pre); lam0 (B, Cp) int32 optional multiplier warm start
+        (lam/rho in c-pre units -- receding-horizon ticks shift and reuse
+        the previous tick's multipliers).  Returns (words, lam_pre).
+        Pure: jit/vmap/shard_map safe.
         """
         from pint_tpu.models.dynamics import pack_controls, unpack_controls
         from pint_tpu.models.dynamics import CONTROL_LAYOUT
@@ -472,9 +479,11 @@ class ConstrainedPGD:
         # device-varying zero inits (shard_map's varying-manual-axes check
         # rejects literal-zero carries; derive them from the inputs)
         carry0 = g_pre ^ g_pre
-        lam0 = c_off ^ c_off
+        ey0 = c_off ^ c_off
+        if lam0 is None:
+            lam0 = ey0
         words, _, _, lam = jax.lax.fori_loop(
-            0, self.outer, outer, (u_words, carry0, lam0, lam0)
+            0, self.outer, outer, (u_words, carry0, ey0, lam0)
         )
         return words, lam
 
@@ -494,3 +503,118 @@ class ConstrainedPGD:
         return words, lanes.astype(jnp.float32) * np.float32(
             self._q.u_scale
         ), lam
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstrainedController:
+    """Receding-horizon closed loop with hard state constraints.
+
+    The constrained counterpart of :class:`pint_tpu.mpc.controller.
+    LTIController`: each tick re-solves the ALM problem from the current
+    fixed-point state, applies the first control, steps the plant, and warm
+    starts the next tick by shifting BOTH the packed plan (m lanes) and the
+    multiplier plane (one constraint-row block -- rows are time-major, so
+    the shift re-aligns each step's duals with the receding horizon).  Warm
+    multipliers are what make small per-tick budgets (a few outer updates)
+    track the constraint boundary: the active set barely changes between
+    ticks, so lam is already near its fixed point.
+
+    The whole loop is one jitted ``lax.scan``: no host round-trips.
+    """
+
+    qcqp: QuantizedConstrainedQP
+    plant_step: callable = dataclasses.field(repr=False)
+    inputs_per_step: int = 1
+    frac_bits: int = 16
+    outer_per_tick: int = 3
+    inners_per_outer: int = 15
+
+    @functools.cached_property
+    def _solver(self) -> ConstrainedPGD:
+        return ConstrainedPGD(
+            self.qcqp, outer=self.outer_per_tick, inners=self.inners_per_outer
+        )
+
+    @functools.cached_property
+    def _g_mat(self) -> np.ndarray:
+        q = self.qcqp.qqp
+        scale = q.Gq_scale * 2.0**-self.frac_bits
+        n = q.qp.G.shape[1]
+        G = np.zeros((n, q.padded), np.float32)
+        G[:, : q.horizon] = (q.qp.G * scale).T.astype(np.float32)
+        return G
+
+    @functools.cached_property
+    def _g_ref(self) -> np.ndarray:
+        q = self.qcqp.qqp
+        gr = np.zeros((q.padded,), np.float32)
+        gr[: q.horizon] = (q.qp.g_ref * q.Gq_scale).astype(np.float32)
+        return gr
+
+    @functools.cached_property
+    def _c_mat(self) -> np.ndarray:
+        """Folded f32 map state_fp -> c_off_pre (like _g_mat for g_pre)."""
+        q = self.qcqp
+        scale = 2.0**-self.frac_bits / q.c_unit
+        n = q.scqp.P.shape[1]
+        Pm = np.zeros((n, q.padded_rows), np.float32)
+        Pm[:, : q.n_rows] = (q.scqp.P * scale).T.astype(np.float32)
+        return Pm
+
+    @functools.cached_property
+    def _c_ref(self) -> np.ndarray:
+        q = self.qcqp
+        cr = np.zeros((q.padded_rows,), np.float32)
+        cr[: q.n_rows] = (q.scqp.r / q.c_unit).astype(np.float32)
+        return cr
+
+    def tick(self, state_fp: Array, u_words: Array, lam: Array):
+        q = self.qcqp.qqp
+        s_f = state_fp.astype(jnp.float32)
+        g = jnp.round(
+            s_f @ jnp.asarray(self._g_mat) + jnp.asarray(self._g_ref)
+        ).astype(jnp.int32)
+        c_off = jnp.round(
+            s_f @ jnp.asarray(self._c_mat) + jnp.asarray(self._c_ref)
+        ).astype(jnp.int32)
+        u_words, lam = self._solver.solve_words(u_words, g, c_off, lam)
+        from pint_tpu.models.dynamics import pack_controls, unpack_controls
+
+        lanes = unpack_controls(u_words)
+        m = self.inputs_per_step
+        u0 = lanes[..., :m]
+        state2 = self.plant_step(state_fp, u0)
+        shifted = jnp.concatenate(
+            [lanes[..., m:], jnp.zeros_like(lanes[..., :m])], axis=-1
+        )
+        # shift multipliers one time block (rows are time-major; padded
+        # tail rows carry lam = 0 already, so the zero-fill is consistent).
+        # qqp.horizon is the decision length T*m, so rows-per-step is
+        # n_rows / T = n_rows * m / horizon
+        rb = self.qcqp.n_rows * m // q.horizon
+        lam2 = jnp.concatenate(
+            [lam[..., rb:], jnp.zeros_like(lam[..., :rb])], axis=-1
+        )
+        return state2, pack_controls(shifted), lam2, u0
+
+    def run(self, state0_fp: Array, ticks: int):
+        """Closed loop; returns (states (B, ticks+1, n), applied control
+        lanes (B, ticks, m))."""
+        q = self.qcqp
+        u0_words = jnp.zeros(
+            state0_fp.shape[:-1] + (q.qqp.padded // 4,), jnp.uint32
+        )
+        lam0 = jnp.zeros(state0_fp.shape[:-1] + (q.padded_rows,), jnp.int32)
+
+        def body(carry, _):
+            state, words, lam = carry
+            state2, words2, lam2, u0 = self.tick(state, words, lam)
+            return (state2, words2, lam2), (state2, u0)
+
+        (_, _, _), (states, lanes) = jax.lax.scan(
+            body, (state0_fp, u0_words, lam0), None, length=ticks
+        )
+        states = jnp.moveaxis(states, 0, -2)
+        lanes = jnp.moveaxis(lanes, 0, -2)
+        states = jnp.concatenate([state0_fp[..., None, :], states], axis=-2)
+        return states, lanes
