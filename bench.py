@@ -164,6 +164,44 @@ def bench_device_sqp(overhead, batch=4096):
     return batch / sec
 
 
+def bench_constrained(overhead, batch=4096, horizon=50):
+    """State-constrained ALM solves/s: velocity-limited double integrator,
+    12 outer multiplier updates x 60 error-feedback PGD inners as one
+    integer XLA program (mpc.constrained.ConstrainedPGD)."""
+    from pint_tpu.mpc import (
+        ConstrainedPGD,
+        condense_double_integrator,
+        constrain_states,
+        quantize_constrained,
+    )
+
+    dt = 1.0 / 32.0
+    qp = condense_double_integrator(T=horizon, dt=dt, q_pos=4.0)
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    Bm = np.array([[0.5 * dt * dt], [dt]])
+    sc = constrain_states(
+        qp,
+        np.broadcast_to(A, (horizon, 2, 2)),
+        np.broadcast_to(Bm, (horizon, 2, 1)),
+        None,
+        F=[[0.0, 1.0]],
+        lo=-0.25,
+        hi=0.25,
+    )
+    solver = ConstrainedPGD(quantize_constrained(sc, rho=50.0), outer=12, inners=60)
+    rng = np.random.default_rng(0)
+    x0 = np.stack(
+        [rng.uniform(-1.5, 1.5, batch), rng.uniform(-0.2, 0.2, batch)],
+        axis=-1,
+    )
+    g = jnp.asarray(solver._q.g_lane_fixed(x0))
+    co = jnp.asarray(solver.qcqp.c_off_pre(x0))
+    fn = jax.jit(lambda w: solver.solve_words(w, g, co)[0])
+    sec = time_chained(fn, solver.init_words(batch), inner=16, reps=3,
+                       overhead=overhead)
+    return batch / sec
+
+
 def bench_vpu_ops(overhead, n: int = 1 << 20, ops_per_pass: int = 64) -> float:
     """Sustained VPU int32 whole-word ops/s: a long fused chain of
     shift/xor/add on a small (VMEM-resident-per-tile) array, so HBM traffic

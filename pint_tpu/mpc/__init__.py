@@ -22,6 +22,7 @@ from pint_tpu.mpc.ltv import QuantizedSQP, SQPController
 from pint_tpu.mpc.mppi import QuantizedMPPI, unicycle_goal_cost
 from pint_tpu.mpc.nonlinear import QuantizedNonlinearPGD
 from pint_tpu.mpc.solver import FixedPointPGD
+from pint_tpu.mpc.sqp_constrained import ConstrainedSQP
 
 __all__ = [
     "CondensedQP",
@@ -46,5 +47,6 @@ __all__ = [
     "QuantizedSQP",
     "DeviceSQP",
     "SQPController",
+    "ConstrainedSQP",
     "unicycle_goal_cost",
 ]

@@ -241,7 +241,8 @@ def condense_ltv_batch(
     R,
     Qf: np.ndarray,
     x_ref,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    return_propagators: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Batched :func:`condense_ltv`: one condensation per problem, the time
     recursion shared and every per-step product a batched GEMM.
 
@@ -252,6 +253,11 @@ def condense_ltv_batch(
     (the per-k accumulation order is identical; only the GEMM batching
     differs).  This is the SQP host-side hot path: ~40x faster than a
     per-problem Python loop at batch 256.
+
+    With ``return_propagators=True`` the per-step propagators are appended:
+    ``(..., Abar (B,T,n,n), Bbar (B,T,n,Tm), Cbar (B,T,n))`` where
+    x_{k+1} = Abar_k x0 + Bbar_k U + Cbar_k -- the inputs state-constraint
+    stacking needs (mpc/constrained.py, mpc/sqp_constrained.py).
     """
     A_seq = np.asarray(A_seq, float)
     B_seq = np.asarray(B_seq, float)
@@ -271,6 +277,7 @@ def condense_ltv_batch(
     # three big optimized einsums instead of T temp-allocating GEMMs
     Abar = np.empty((Bb, T, n, n))
     Bbar_all = np.empty((Bb, T, n, Tm))
+    Cbar_all = np.empty((Bb, T, n))
     Cx = np.empty((Bb, T, n))        # Cbar_k - x_ref_k
     Ak_prod = np.zeros((Bb, n, n))
     Ak_prod[:] = np.eye(n)
@@ -285,6 +292,7 @@ def condense_ltv_batch(
         c_acc = np.einsum("bij,bj->bi", Ak, c_acc) + c_seq[:, k]
         Abar[:, k] = Ak_prod
         Bbar_all[:, k] = Bbar
+        Cbar_all[:, k] = c_acc
         Cx[:, k] = c_acc - x_ref_seq[k]
 
     H = np.zeros((Bb, Tm, Tm))
@@ -301,6 +309,8 @@ def condense_ltv_batch(
     g_ref = np.einsum("bkjn,bkj->bn", BQ, Cx, optimize=True)
     g_ref += np.einsum("bjn,bj->bn", BQT, Cx[:, T - 1], optimize=True)
     lip = np.linalg.eigvalsh(H)[:, -1]
+    if return_propagators:
+        return H, G, g_ref, lip, Abar, Bbar_all, Cbar_all
     return H, G, g_ref, lip
 
 

@@ -61,6 +61,54 @@ def _lower_words() -> np.uint32:
     return np.uint32(w)
 
 
+def quantize_batch(
+    H: np.ndarray,
+    G: np.ndarray,
+    g_ref: np.ndarray,
+    alpha: np.ndarray,
+    x0_f: np.ndarray,
+    Tp: int,
+    g_shift: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-problem :func:`pint_tpu.mpc.condensed.quantize` in
+    lane units (u_scale = 1, u_max = 127): the SQP inner-QP quantizer.
+
+    ``alpha`` (B,) is the PGD step per problem -- 1/lip for the plain SQP,
+    1/(lip + rho * penalty_lip) for the state-constrained variant.  Returns
+    (Hq (B,Tp,Tp) int8, g_pre (B,Tp) int32, hs_num (B,), hs_den (B,)).
+    """
+    batch = H.shape[0]
+    aH = alpha[:, None, None] * H
+    h_scale = np.abs(aH).max(axis=(1, 2)) / 127.0       # (B,)
+    Hq = np.zeros((batch, Tp, Tp), np.int8)
+    Hq[:, : H.shape[1], : H.shape[2]] = np.round(
+        aH / h_scale[:, None, None]
+    ).astype(np.int8)
+    g = np.einsum("bin,bn->bi", G, x0_f) + g_ref        # (B, Tm)
+    gq = np.round(
+        np.nan_to_num(
+            g * (alpha * float(2**g_shift))[:, None],
+            posinf=2**31 - 1, neginf=-(2**31),
+        )
+    )
+    g_pre = np.zeros((batch, Tp), np.int32)
+    g_pre[:, : g.shape[1]] = np.clip(gq, -(2**31), 2**31 - 1).astype(
+        np.int32
+    )
+    val = h_scale * float(2**g_shift)                   # (B,)
+    num_max = (2**31 - 1) // (127 * 127 * Tp)
+    hs_den = np.clip(
+        np.floor(np.log2(num_max / val)), 0, 31
+    ).astype(np.int32)
+    hs_num = np.round(val * 2.0**hs_den).astype(np.int64)
+    if (hs_num < 1).any() or (hs_num > num_max).any():
+        raise ValueError(
+            "step scale cannot be represented as an int32 rational "
+            "(degenerate problem scaling); rescale Q/R or g_shift"
+        )
+    return Hq, g_pre, hs_num.astype(np.int32), hs_den
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "g_shift"))
 def _pgd_batched_h(
     u_words: Array,   # (B, Tp/4) uint32 packed int8 lanes
@@ -271,38 +319,9 @@ class QuantizedSQP:
             A_seq, B_seq * s, c_seq, Q, R_lane,
             self._Qf, np.asarray(self.x_ref, float),
         )
-        # vectorized quantize() (same per-problem formulas; u_scale = 1)
-        Tp = self.padded
-        alpha = 1.0 / lip                                   # (B,)
-        aH = alpha[:, None, None] * H
-        h_scale = np.abs(aH).max(axis=(1, 2)) / 127.0       # (B,)
-        Hq = np.zeros((batch, Tp, Tp), np.int8)
-        Hq[:, : H.shape[1], : H.shape[2]] = np.round(
-            aH / h_scale[:, None, None]
-        ).astype(np.int8)
-        g = np.einsum("bin,bn->bi", G, x0_f) + g_ref        # (B, Tm)
-        gq = np.round(
-            np.nan_to_num(
-                g * (alpha * float(2**self.g_shift))[:, None],
-                posinf=2**31 - 1, neginf=-(2**31),
-            )
+        return quantize_batch(
+            H, G, g_ref, 1.0 / lip, x0_f, self.padded, self.g_shift
         )
-        g_pre = np.zeros((batch, Tp), np.int32)
-        g_pre[:, : g.shape[1]] = np.clip(gq, -(2**31), 2**31 - 1).astype(
-            np.int32
-        )
-        val = h_scale * float(2**self.g_shift)              # (B,)
-        num_max = (2**31 - 1) // (127 * 127 * Tp)
-        hs_den = np.clip(
-            np.floor(np.log2(num_max / val)), 0, 31
-        ).astype(np.int32)
-        hs_num = np.round(val * 2.0**hs_den).astype(np.int64)
-        if (hs_num < 1).any() or (hs_num > num_max).any():
-            raise ValueError(
-                "step scale cannot be represented as an int32 rational "
-                "(degenerate problem scaling); rescale Q/R or g_shift"
-            )
-        return Hq, g_pre, hs_num.astype(np.int32), hs_den
 
     def lanes(self, u_words: Array) -> np.ndarray:
         """(B, 2T) int32 lane plan (drops the QP padding)."""
