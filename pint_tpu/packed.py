@@ -148,6 +148,17 @@ class PackedArray:
         self._check(other)
         return self.word == other.word
 
+    def not_equal(self, other) -> Array:
+        """Elementwise word inequality (``operator!=``, pint.hpp:779).
+
+        Python's ``==``/``!=`` are left at dataclass identity semantics
+        (a PackedArray holds a traced JAX array, whose truthiness is
+        ambiguous elementwise); the reference's value comparisons map to
+        :meth:`equal` / :meth:`not_equal`, which return boolean arrays.
+        """
+        self._check(other)
+        return self.word != other.word
+
     def __getitem__(self, idx):
         return PackedArray(self.word[idx], self.layout)
 

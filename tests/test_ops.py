@@ -407,5 +407,18 @@ def test_operator_overloads():
     assert int((a & b).word) == (int(a.word) & int(b.word))
     assert int((a ^ b).word) == (int(a.word) ^ int(b.word))
     assert bool(a.equal(P(lay, 3, 5)))
+    # operator!= (pint.hpp:779): true iff any word bit differs
+    assert not bool(a.not_equal(P(lay, 3, 5)))
+    assert bool(a.not_equal(b))
+    batch = PackedArray.from_words(lay, jnp.asarray([0x35, 0x14], jnp.uint8))
+    both = PackedArray.from_words(lay, jnp.asarray([0x35, 0x99], jnp.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(batch.not_equal(both)), [False, True]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.equal(both)), ~np.asarray(batch.not_equal(both))
+    )
+    with pytest.raises(ValueError):
+        a.not_equal(P(PackedLayout(4, 5), 1, 1))
     with pytest.raises(ValueError):
         pt.add_wrap(a, P(PackedLayout(4, 5), 1, 1))
