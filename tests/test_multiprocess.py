@@ -59,6 +59,27 @@ WORKER = textwrap.dedent(
     assert np.isfinite(r)
     agg = aggregate_rate(100.0)
     assert abs(agg - 200.0) < 1e-3, agg
+
+    # sharded checkpoint across processes: each host writes ONLY its
+    # addressable shards, then reloads onto the same mesh bit-exactly
+    from jax.experimental import multihost_utils
+    from pint_tpu.utils.checkpoint import save_sharded, load_sharded, load_full
+
+    prefix = r"{ckpt_prefix}"
+    path = save_sharded(prefix, words)
+    assert path.endswith(f".proc{{pid}}.npz"), path
+    multihost_utils.sync_global_devices("pint_ckpt_saved")
+    back, widths = load_sharded(prefix, sharding)
+    assert widths is None
+    for s1, s2 in zip(words.addressable_shards, back.addressable_shards):
+        assert s1.index == s2.index
+        assert (np.asarray(s1.data) == np.asarray(s2.data)).all()
+    # both files live on one filesystem here, so the full assembly is
+    # checkable too: every addressable shard must match its window
+    full, _ = load_full(prefix)
+    assert full.shape == words.shape
+    for s in words.addressable_shards:
+        assert (full[s.index] == np.asarray(s.data)).all()
     print(f"proc {{pid}} OK residual={{r}}", flush=True)
     """
 )
@@ -74,7 +95,9 @@ def test_two_process_distributed(tmp_path):
 
     repo = pathlib.Path(__file__).resolve().parents[1]
     script = tmp_path / "worker.py"
-    script.write_text(WORKER.format(port=port))
+    script.write_text(
+        WORKER.format(port=port, ckpt_prefix=str(tmp_path / "ckpt"))
+    )
 
     procs = [
         subprocess.Popen(
