@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pint_tpu.mpc.ltv import _pgd_batched_h
+from pint_tpu.mpc.ltv import _pgd_batched_h, _pgd_batched_h_cols
 from pint_tpu.models.dynamics import Unicycle, unpack_controls
 
 Array = jax.Array
@@ -260,6 +260,67 @@ class DeviceSQP:
         physical state; u_words (B, Tm/4) packed int8 plan (warm start).
         One XLA program; vmap/shard_map friendly."""
         return self._solve_jit(u_words, jnp.asarray(x0_f, jnp.float32))
+
+    def sharded_solve_words(self, mesh):
+        """dp x tp sharded solve: jitted (u_words (B, Tm/4) P('dp','tp'),
+        x0_f (B, n) P('dp', None)) -> words P('dp','tp').
+
+        **dp** shards problems (the loop is batch-parallel).  **tp**
+        shards the PGD stage's horizon columns: per inner iteration each
+        rank contributes ``U_r @ Hq[:, :, cols_r]^T`` to an exact int32
+        psum of the full gradient (the BASELINE.json "condensed-QP blocks
+        reduced via psum" path) and updates only its columns.  Per SQP
+        outer iteration one int32 all_gather rebuilds the full lane plan
+        for the rollout, and the f32 condensation runs tp-replicated (its
+        inputs are identical on every tp rank, so its outputs are too).
+        Bit-identical to :meth:`solve_words` on every mesh shape
+        (tests/test_device_sqp.py).  Hold onto the returned callable: a
+        fresh program is built per call (DeviceSQP carries ndarray fields,
+        so it can't memoize per-mesh programs on itself).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        tp = mesh.shape["tp"]
+        if self.n_dec % (4 * tp):
+            raise ValueError(
+                f"horizon*n_ctrl = {self.n_dec} must divide into 4-lane "
+                f"words across tp={tp}"
+            )
+        block = self.n_dec // tp
+
+        def local(u_words: Array, x0_f: Array) -> Array:
+            r = jax.lax.axis_index("tp")
+            # the all_gathered lanes stay marked device-varying over tp, so
+            # every value they meet in the condensation must be too -- mark
+            # the (tp-replicated) state the same way or scan carries clash
+            x0_f = jax.lax.pcast(x0_f, ("tp",), to="varying")
+
+            def outer(_, words):
+                lanes_r = unpack_controls(words)  # (B_loc, block)
+                lanes = jax.lax.all_gather(
+                    lanes_r, "tp", axis=1, tiled=True
+                )  # (B_loc, Tm): exact int32 plan, tp-replicated
+                Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
+                g_r = jax.lax.dynamic_slice_in_dim(
+                    g_pre, r * block, block, axis=1
+                )
+                return _pgd_batched_h_cols(
+                    words, g_r, Hq, hs_num, hs_den,
+                    iters=self.pgd_iters, g_shift=self.g_shift,
+                    axis_name="tp", block=block,
+                )
+
+            return jax.lax.fori_loop(0, self.sqp_iters, outer, u_words)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("dp", "tp"), P("dp", None)),
+            out_specs=P("dp", "tp"),
+        )
+        return jax.jit(
+            lambda u, x0: fn(u, jnp.asarray(x0, jnp.float32))
+        )
 
     def solve(self, x0_f: np.ndarray):
         """Cold-start convenience: returns (words, physical plans)."""

@@ -159,6 +159,59 @@ def _pgd_batched_h(
     return words
 
 
+def _pgd_batched_h_cols(
+    u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
+    g_r: Array,       # (B, block) int32: this rank's linear-term columns
+    Hq: Array,        # (B, Tp, Tp) int8 per-problem Hessian (tp-replicated)
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,    # (B,) int32
+    *,
+    iters: int,
+    g_shift: int,
+    axis_name: str,
+    block: int,
+) -> Array:
+    """Column-sharded :func:`_pgd_batched_h`: the horizon splits into
+    ``block``-wide column blocks across mesh axis ``axis_name``.
+
+    Each iteration this rank contributes ``U_r @ Hq[:, :, cols_r]^T`` to an
+    exact int32 psum of the full gradient, then updates only its own
+    columns.  Wrapping int32 addition is associative, so the result is
+    bit-identical to the single-device `_pgd_batched_h` restricted to this
+    rank's columns (tests/test_device_sqp.py)."""
+    r = jax.lax.axis_index(axis_name)
+    Hq_cols = jax.lax.dynamic_slice_in_dim(Hq, r * block, block, axis=2)
+    lower = jnp.full((1,), _lower_words(), jnp.uint32)
+    half = np.int32(1 << (g_shift - 1))
+
+    def body(_, state):
+        words, carry = state
+        lanes = unpack_controls(words)  # (B, block) int32
+        partial = jax.lax.dot_general(
+            lanes.astype(jnp.int8),
+            Hq_cols,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (B, Tp) = our columns' contribution to every gradient row
+        acc = jax.lax.psum(partial, axis_name)
+        acc_blk = jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
+        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
+        step = -(pre + g_r) + carry
+        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+        carry = step - (delta << np.int32(g_shift))
+        words = W.add_signed_saturate(
+            CONTROL_LAYOUT, words, pack_controls(delta)
+        )
+        words = W.max_signed(
+            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
+        )
+        return words, carry
+
+    carry0 = g_r ^ g_r
+    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
+    return words
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantizedSQP:
     """SQP trajectory optimizer on packed int8 plans, for any model exposing

@@ -41,7 +41,7 @@ shard_map = jax.shard_map
 
 Array = jax.Array
 
-__all__ = ["ShardedPGD"]
+__all__ = ["ShardedPGD", "ShardedConstrainedPGD"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,4 +210,223 @@ class ShardedPGD:
             words,
             lanes.astype(jnp.float32) * np.float32(self.qqp.u_scale),
             residual,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedConstrainedPGD:
+    """dp x tp sharded augmented-Lagrangian solver (hard state constraints).
+
+    The mesh extension of :class:`pint_tpu.mpc.constrained.ConstrainedPGD`:
+    **dp** shards the problem batch, **tp** shards the condensed horizon.
+    Per inner iteration each rank contributes its column block to TWO exact
+    int32 psums -- the objective gradient (``U_r @ Hq[:, cols_r]^T``) and
+    the constraint evaluation (``U_r @ Sq[:, cols_r]^T``) -- while the
+    constraint-row plane (violations, error feedback, multipliers) is
+    tp-replicated: every rank recomputes it from the psum-reduced
+    constraint values with identical integer ops, so no second collective
+    is needed.  The penalty-gradient matmuls ``y @ Sq[:, cols_r]``
+    contract over the full (local) row plane and are collective-free.
+
+    Associativity of wrapping int32 addition makes the psums bit-exact, so
+    the solve is *bit-identical* to the single-device ConstrainedPGD on
+    every mesh shape (tests/test_parallel.py).
+    """
+
+    qcqp: "QuantizedConstrainedQP"
+    mesh: Mesh
+    outer: int = 10
+    inners: int = 40
+
+    def __post_init__(self):
+        tp = self.mesh.shape["tp"]
+        if self.qcqp.qqp.padded % (4 * tp):
+            raise ValueError(
+                f"padded horizon {self.qcqp.qqp.padded} must divide into "
+                f"4-lane words across tp={tp}"
+            )
+
+    @functools.cached_property
+    def tp(self) -> int:
+        return self.mesh.shape["tp"]
+
+    @functools.cached_property
+    def block(self) -> int:
+        return self.qcqp.qqp.padded // self.tp
+
+    @functools.cached_property
+    def _lower_word(self) -> np.uint32:
+        w = 0
+        for off in CONTROL_LAYOUT.offsets:
+            w |= (-127 & 0xFF) << off
+        return np.uint32(w)
+
+    # -- shard-local program ---------------------------------------------------
+
+    def _c_pre_psum(self, lanes_r: Array, Sq_cols: Array) -> Array:
+        """This rank's constraint contribution, psum-reduced to the exact
+        full (B_loc, Cp) int32 plane (== ConstrainedPGD._c_pre)."""
+        q = self.qcqp
+        partial = jax.lax.dot_general(
+            lanes_r.astype(jnp.int8),
+            Sq_cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B_loc, Cp)
+        acc = jax.lax.psum(partial, "tp")
+        return (acc * np.int32(q.cs_num)) >> np.int32(q.cs_den)
+
+    def _local_solve(
+        self,
+        u_words: Array,
+        g_pre: Array,
+        c_off: Array,
+        lam0: Array,
+        Hq: Array,
+        Sq: Array,
+    ):
+        """ALM loop on this rank's (B_loc, block) column block.
+
+        u_words (B_loc, block/4) uint32; g_pre (B_loc, block) int32;
+        c_off / lam0 (B_loc, Cp) int32 tp-replicated; Hq (Tp, Tp) int8;
+        Sq (Cp, Tp) int8.  Same iteration constants as ConstrainedPGD.
+        solve_words -- keep the two in lockstep (bit-identity is tested).
+        """
+        from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
+
+        q = self.qcqp
+        qq = q.qqp
+        r = jax.lax.axis_index("tp")
+        Hq_cols = jax.lax.dynamic_slice_in_dim(
+            Hq, r * self.block, self.block, axis=1
+        )  # (Tp, block)
+        Sq_cols = jax.lax.dynamic_slice_in_dim(
+            Sq, r * self.block, self.block, axis=1
+        )  # (Cp, block)
+        lo = jnp.asarray(q.lo_pre)
+        hi = jnp.asarray(q.hi_pre)
+        half = np.int32(1 << (qq.g_shift - 1))
+        y_half = np.int32(1 << q.y_shift >> 1) if q.y_shift else np.int32(0)
+        y_cap = np.int32((1 << _Y_BITS) - 1)
+        lower = jnp.broadcast_to(
+            jnp.full((1,), self._lower_word, jnp.uint32), u_words.shape
+        )
+
+        def inner(_, st):
+            words, carry, ey, lam = st
+            lanes = unpack_controls(words)  # (B_loc, block)
+            partial = jax.lax.dot_general(
+                lanes.astype(jnp.int8),
+                Hq_cols,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B_loc, Tp)
+            acc = jax.lax.psum(partial, "tp")
+            acc_blk = jax.lax.dynamic_slice_in_dim(
+                acc, r * self.block, self.block, axis=1
+            )
+            pre = (acc_blk * np.int32(qq.hs_num)) >> np.int32(qq.hs_den)
+            t = self._c_pre_psum(lanes, Sq_cols) + c_off + lam
+            y = t - jnp.clip(t, lo, hi) + ey
+            y14 = jnp.clip(
+                (y + y_half) >> np.int32(q.y_shift), -y_cap, y_cap
+            )
+            ey = y - (y14 << np.int32(q.y_shift))
+            y_hi = y14 >> np.int32(7)
+            y_lo = y14 - (y_hi << np.int32(7))
+            acc_h = jax.lax.dot_general(
+                y_hi.astype(jnp.int8), Sq_cols,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B_loc, block): our gradient columns, no collective
+            acc_l = jax.lax.dot_general(
+                y_lo.astype(jnp.int8), Sq_cols,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            extra = ((acc_h * np.int32(q.eh_num)) >> np.int32(q.eh_den)) + (
+                (acc_l * np.int32(q.el_num)) >> np.int32(q.el_den)
+            )
+            step = -(pre + g_pre + extra) + carry
+            delta = jnp.clip((step + half) >> np.int32(qq.g_shift), -128, 127)
+            carry = step - (delta << np.int32(qq.g_shift))
+            words = W.add_signed_saturate(
+                CONTROL_LAYOUT, words, pack_controls(delta)
+            )
+            words = W.max_signed(CONTROL_LAYOUT, words, lower)
+            return words, carry, ey, lam
+
+        def outer(_, st):
+            words, carry, ey, lam = st
+            words, carry, ey, lam = jax.lax.fori_loop(
+                0, self.inners, inner, (words, carry, ey, lam)
+            )
+            t = (
+                self._c_pre_psum(unpack_controls(words), Sq_cols)
+                + c_off
+                + lam
+            )
+            lam = jnp.clip(t - jnp.clip(t, lo, hi), -_LAM_CAP, _LAM_CAP)
+            return words, carry, ey, lam
+
+        carry0 = g_pre ^ g_pre
+        ey0 = c_off ^ c_off
+        words, _, _, lam = jax.lax.fori_loop(
+            0, self.outer, outer, (u_words, carry0, ey0, lam0)
+        )
+        return words, lam
+
+    # -- public API --------------------------------------------------------------
+
+    @functools.cached_property
+    def solve_words(self):
+        """jitted (u_words (B, Tp/4), g_pre (B, Tp), c_off (B, Cp),
+        lam0 (B, Cp)) -> (words, lam_pre): batch dp-sharded, horizon
+        tp-sharded, constraint plane tp-replicated."""
+        fn = shard_map(
+            self._local_solve,
+            mesh=self.mesh,
+            in_specs=(
+                P("dp", "tp"),
+                P("dp", "tp"),
+                P("dp", None),
+                P("dp", None),
+                P(None, None),
+                P(None, None),
+            ),
+            out_specs=(P("dp", "tp"), P("dp", None)),
+        )
+        Hq = jnp.asarray(self.qcqp.qqp.Hq)
+        Sq = jnp.asarray(self.qcqp.Sq)
+        return jax.jit(lambda u, g, c, lam: fn(u, g, c, lam, Hq, Sq))
+
+    def init_words(self, batch: int) -> Array:
+        sharding = NamedSharding(self.mesh, P("dp", "tp"))
+        return jax.device_put(
+            jnp.zeros((batch, self.qcqp.qqp.padded // 4), jnp.uint32),
+            sharding,
+        )
+
+    def solve(self, x0_phys: np.ndarray) -> Tuple[Array, Array, Array]:
+        """End-to-end sharded solve; returns (words, u_phys (B, T) f32,
+        lam_pre)."""
+        q = self.qcqp
+        x0 = np.atleast_2d(x0_phys)
+        row = NamedSharding(self.mesh, P("dp", None))
+        g_pre = jax.device_put(
+            jnp.asarray(q.qqp.g_lane_fixed(x0)),
+            NamedSharding(self.mesh, P("dp", "tp")),
+        )
+        c_off = jax.device_put(jnp.asarray(q.c_off_pre(x0)), row)
+        lam0 = jax.device_put(
+            jnp.zeros((x0.shape[0], q.padded_rows), jnp.int32), row
+        )
+        words, lam = self.solve_words(
+            self.init_words(x0.shape[0]), g_pre, c_off, lam0
+        )
+        lanes = unpack_controls(words)[:, : q.qqp.horizon]
+        return (
+            words,
+            lanes.astype(jnp.float32) * np.float32(q.qqp.u_scale),
+            lam,
         )

@@ -118,6 +118,51 @@ def test_device_sqp_dp_sharded_bit_identical(pair):
     np.testing.assert_array_equal(np.asarray(w_single), np.asarray(w_sh))
 
 
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4), (1, 8)])
+def test_device_sqp_dp_tp_sharded_bit_identical(pair, dp, tp):
+    """sharded_solve_words on a dp x tp mesh reproduces the single-device
+    solve exactly: the PGD gradient psum is exact int32, the per-outer
+    all_gather of the lane plan is exact, and the tp-replicated f32
+    condensation sees identical inputs on every rank."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    _, dev = pair
+    rng = np.random.default_rng(5)
+    batch = 16
+    x0 = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(0, 1, batch),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    w_single, _ = dev.solve(x0)
+    mesh = make_mesh(dp=dp, tp=tp)
+    solve = dev.sharded_solve_words(mesh)
+    xj = jax.device_put(
+        jnp.asarray(x0), NamedSharding(mesh, P("dp", None))
+    )
+    u0 = jax.device_put(
+        dev.init_words(batch), NamedSharding(mesh, P("dp", "tp"))
+    )
+    w_sh = solve(u0, xj)
+    np.testing.assert_array_equal(np.asarray(w_single), np.asarray(w_sh))
+
+
+def test_device_sqp_sharded_rejects_bad_tp():
+    from pint_tpu.parallel import make_mesh
+
+    # unicycle horizon 36 -> n_dec = 72, not divisible by 4*tp = 32
+    bad = DeviceSQP(horizon=36, sqp_iters=1, pgd_iters=1)
+    with pytest.raises(ValueError, match="divide into 4-lane"):
+        bad.sharded_solve_words(make_mesh(dp=1, tp=8))
+
+
 def test_device_sqp_nan_input_isolated(pair):
     """A corrupted (NaN) problem neither crashes the batch nor perturbs
     its companions (the non-finite guard mirrors the host path)."""

@@ -95,3 +95,111 @@ def test_batch_sharding_layout(qqp):
     u0 = solver.init_words(16)
     # iterate is sharded over both axes
     assert len(u0.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------------------
+# dp x tp constrained (ALM) tier
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qcqp():
+    from pint_tpu.mpc.constrained import constrain_states, quantize_constrained
+
+    T, dt = 48, 1.0 / 32.0
+    qp = condense_double_integrator(T=T, dt=dt, q_pos=4.0)
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    B = np.array([[0.5 * dt * dt], [dt]])
+    sc = constrain_states(
+        qp,
+        np.broadcast_to(A, (T, 2, 2)),
+        np.broadcast_to(B, (T, 2, 1)),
+        None,
+        F=[[0.0, 1.0]],
+        lo=-0.25,
+        hi=0.25,
+    )
+    return quantize_constrained(sc, rho=50.0)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_constrained_matches_single_device(qcqp, dp, tp):
+    """The dp x tp ALM solve is bit-identical to ConstrainedPGD: both
+    int32 psums (gradient + constraint evaluation) are exact, and the
+    tp-replicated multiplier plane stays in lockstep."""
+    from pint_tpu.mpc.constrained import ConstrainedPGD
+    from pint_tpu.parallel import ShardedConstrainedPGD
+
+    outer, inners = 6, 20
+    mesh = make_mesh(dp=dp, tp=tp)
+    sharded = ShardedConstrainedPGD(qcqp, mesh, outer=outer, inners=inners)
+    single = ConstrainedPGD(qcqp, outer=outer, inners=inners)
+
+    x0 = _x0_batch(16, seed=7)
+    words_s, u_s, lam_s = sharded.solve(x0)
+    words_1, u_1, lam_1 = single.solve(x0)
+
+    np.testing.assert_array_equal(np.asarray(words_s), np.asarray(words_1))
+    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_1))
+    np.testing.assert_array_equal(np.asarray(lam_s), np.asarray(lam_1))
+
+
+def test_sharded_constrained_warm_multipliers(qcqp):
+    """The lam0 warm-start plane shards dp / replicates tp and matches the
+    single-device warm-started path exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.mpc.constrained import ConstrainedPGD
+    from pint_tpu.parallel import ShardedConstrainedPGD
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = ShardedConstrainedPGD(qcqp, mesh, outer=3, inners=10)
+    single = ConstrainedPGD(qcqp, outer=3, inners=10)
+    x0 = _x0_batch(8, seed=11)
+
+    # first pass produces multipliers; second pass warm-starts from them
+    _, _, lam = sharded.solve(x0)
+    g = jax.device_put(
+        jnp.asarray(qcqp.qqp.g_lane_fixed(x0)),
+        NamedSharding(mesh, P("dp", "tp")),
+    )
+    c = jax.device_put(
+        jnp.asarray(qcqp.c_off_pre(x0)), NamedSharding(mesh, P("dp", None))
+    )
+    w2, lam2 = sharded.solve_words(sharded.init_words(8), g, c, lam)
+
+    g1 = jnp.asarray(qcqp.qqp.g_lane_fixed(x0))
+    c1 = jnp.asarray(qcqp.c_off_pre(x0))
+    _, lam_1 = jax.jit(single.solve_words)(single.init_words(8), g1, c1)
+    w2_1, lam2_1 = jax.jit(single.solve_words)(
+        single.init_words(8), g1, c1, jnp.asarray(lam)
+    )
+    np.testing.assert_array_equal(np.asarray(lam), np.asarray(lam_1))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w2_1))
+    np.testing.assert_array_equal(np.asarray(lam2), np.asarray(lam2_1))
+
+
+def test_sharded_constrained_rejects_bad_tp():
+    """A padded horizon that doesn't split into 4-lane words per tp rank is
+    rejected at construction."""
+    from pint_tpu.mpc.constrained import constrain_states, quantize_constrained
+    from pint_tpu.parallel import ShardedConstrainedPGD
+
+    T, dt = 12, 1.0 / 32.0
+    qp = condense_double_integrator(T=T, dt=dt)
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    B = np.array([[0.5 * dt * dt], [dt]])
+    sc = constrain_states(
+        qp,
+        np.broadcast_to(A, (T, 2, 2)),
+        np.broadcast_to(B, (T, 2, 1)),
+        None,
+        F=[[0.0, 1.0]],
+        lo=-0.25,
+        hi=0.25,
+    )
+    q = quantize_constrained(sc, pad_to=4)  # padded = 12; 4*tp=32 doesn't fit
+    assert q.qqp.padded % 32
+    with pytest.raises(ValueError, match="must divide"):
+        ShardedConstrainedPGD(q, make_mesh(dp=1, tp=8))
