@@ -68,8 +68,37 @@ def main():
     n = jax.device_count()
     overhead = fetch_overhead()
 
+    # stamp the artifact so smoke numbers can't masquerade as measurements:
+    # "scaling" over virtual devices sharing one host CPU, or over a single
+    # physical chip, is meaningless by construction
+    platform = jax.devices()[0].platform
+    real_multi_device = platform != "cpu" and n > 1
+    environment = {
+        "kind": ("tpu-slice" if real_multi_device else
+                 "cpu-virtual-smoke" if platform == "cpu" else
+                 f"single-{platform}-smoke"),
+        "platform": platform,
+        "device_kind": jax.devices()[0].device_kind,
+        "device_count": n,
+        "process_count": jax.process_count(),
+    }
+    if not real_multi_device:
+        print(
+            "WARNING: no real multi-device hardware -- this run exercises "
+            "the sweep/sharding/aggregation paths only; efficiency numbers "
+            "are NOT hardware-meaningful (see SCALING.md for the analytic "
+            "projection)",
+            flush=True,
+        )
+
     dps = sorted({1, 2, 4, 8, n // args.tp} & set(range(1, n // args.tp + 1)))
-    results = {"devices": n, "tp": args.tp, "sweep": {}}
+    results = {
+        "environment": environment,
+        "hardware_meaningful": real_multi_device,
+        "devices": n,
+        "tp": args.tp,
+        "sweep": {},
+    }
     base = None
     for dp in dps:
         rate = aggregate_rate(
@@ -94,6 +123,8 @@ def main():
                 "value": round(last["solves_per_s"] / 1e6, 3),
                 "unit": "Msolves/s",
                 "vs_baseline": round(last["scaling_efficiency"], 4),
+                "environment": environment["kind"],
+                "hardware_meaningful": real_multi_device,
             }
         )
     )
