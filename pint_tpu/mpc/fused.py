@@ -76,10 +76,13 @@ class FusedPGD:
     Semantically bit-identical (tests/test_fused.py, interpret mode), but
     the current Mosaic compiler MISCOMPILES the sub-tile (16-lane) concat/
     slice shuffles on hardware -- lane-2 bytes of odd word columns come back
-    zeroed (verified 2026-08-17 on v5e; minimal repro: grouped unpack->
-    repack identity kernel).  Native compilation therefore raises until the
-    toolchain fixes lane-granular shuffles; the saving at stake is <5% of
-    solve time (the once-per-solve XLA-side conversion)."""
+    zeroed (verified 2026-08-17 on v5e; standalone repro checked in as
+    ``mosaic_repro.py`` -- run it per toolchain bump; it also measures the
+    shuffle-free PLANAR alternative, lane planes on a leading axis with no
+    concat/sub-tile slice, which is the rewrite path if the gate must be
+    lifted before the toolchain fix).  Native compilation therefore raises
+    until the toolchain fixes lane-granular shuffles; the saving at stake
+    is <5% of solve time (the once-per-solve XLA-side conversion)."""
     # None = auto: interpreter off-TPU so the same code runs everywhere
     interpret: object = None
 
