@@ -42,6 +42,37 @@ N_WORDS = 1 << 24  # 16Mi words, 64 MiB per operand
 INNER = 1024       # chained executions per sample: total >=300ms so the
                    # ~30ms sync round-trip (with +-10ms jitter) stays <10%
 
+# per-metric run-to-run spread: label -> {rate_min, rate_med, rate_max,
+# reps}.  Written into BENCH_full.json's "spread" section so every
+# headline number carries its measured variance (no prose ranges).
+SPREADS: dict = {}
+
+
+def _timed_rate(label, numerator, step, x0, *consts, inner, reps=5,
+                overhead=None):
+    """Median rate = numerator/sec over ``reps`` samples; records spread.
+
+    A sample whose total chained runtime is under 3x the ~30ms sync
+    overhead is dominated by round-trip jitter; such metrics are stamped
+    ``low_confidence`` so a nonsense rate can't masquerade as a
+    measurement (callers should raise ``inner`` until the stamp clears).
+    """
+    st: list = []
+    sec = time_chained(
+        step, x0, *consts, inner=inner, reps=reps, overhead=overhead,
+        stats_out=st,
+    )
+    lo, med, hi = st[0]
+    SPREADS[label] = {
+        "rate_min": numerator / hi,
+        "rate_med": numerator / med,
+        "rate_max": numerator / lo,
+        "reps": reps,
+    }
+    if overhead is not None and med * inner < 2.0 * overhead:
+        SPREADS[label]["low_confidence"] = True
+    return numerator / sec
+
 
 def _rand_words(layout: PackedLayout, n: int, seed: int):
     rng = np.random.default_rng(seed)
@@ -49,39 +80,78 @@ def _rand_words(layout: PackedLayout, n: int, seed: int):
     return jnp.asarray((w & np.uint64(layout.used_mask)).astype(layout.word_dtype))
 
 
-def bench_raw_add(n: int, overhead: float) -> float:
+def bench_raw_add(n: int, overhead: float, tag: str = "",
+                  inner: int = INNER) -> float:
     """Calibration: raw uint32 elementwise add, words/s."""
     a = jnp.arange(n, dtype=jnp.uint32)
     b = a | jnp.uint32(1)
-    sec = time_chained(
-        lambda x, y: x + y, a, b, inner=INNER, overhead=overhead
+    return _timed_rate(
+        f"raw_u32_add{tag}", n, lambda x, y: x + y, a, b,
+        inner=inner, overhead=overhead,
     )
-    return n / sec
 
 
-def bench_packed_op(layout, opname, n, overhead):
-    """(words/s, lane ops/s) of a jitted packed op."""
+def bench_packed_op(layout, opname, n, overhead, inner=None, tag=""):
+    """(words/s, lane ops/s) of a jitted packed op (binop or shift).
+
+    With the default 64MiB operands the chained loop keeps the carry in
+    VMEM and streams the loop-invariant operand from HBM (1 stream); at
+    n <= 2Mi words everything is VMEM-resident and the rate is pure
+    compute (use ``tag='_vmem'`` + a large ``inner`` for that regime).
+    """
+    a = _rand_words(layout, n, 0)
+    label = f"{opname}_{'x'.join(map(str, layout.widths))}{tag}"
+    formula = getattr(W, opname)
+    if opname in ("shift_left", "shift_right_unsigned"):
+        # shifts are 2-traffic-word ops and very fast: need a much longer
+        # chain for the work to dwarf the ~30ms sync overhead
+        amount = jnp.uint32(min(3, layout.max_width - 1))
+        wps = _timed_rate(
+            label, n, lambda x: formula(layout, x, amount), a,
+            inner=4 * (inner or INNER), overhead=overhead,
+        )
+    else:
+        b = _rand_words(layout, n, 1)
+        wps = _timed_rate(
+            label, n, lambda x, y: formula(layout, x, y), a, b,
+            inner=inner or INNER, overhead=overhead,
+        )
+    return wps, wps * layout.num_lanes
+
+
+def bench_stream_pingpong(layout, opname, n, overhead):
+    """HBM-streaming words/s with BOTH operands loop-varying.
+
+    The single-carry chain lets XLA hoist loop-invariant subexpressions of
+    the fixed operand (e.g. ``~b`` in sub_wrap) into full-size buffers that
+    steal the VMEM residency slot from the carry, which made op rates
+    depend on formula shape, not cost (57 vs 199 Gwords/s quantization).
+    Ping-ponging ``(x, y) -> (y, op(x, y))`` defeats the hoist: every op
+    measures the same 3-stream HBM-bound regime (~43 Gwords/s).
+    """
     a = _rand_words(layout, n, 0)
     b = _rand_words(layout, n, 1)
     formula = getattr(W, opname)
-    sec = time_chained(
-        lambda x, y: formula(layout, x, y), a, b, inner=INNER,
-        overhead=overhead,
+
+    def step(c):
+        x, y = c
+        return (y, formula(layout, x, y))
+
+    wps = _timed_rate(
+        f"{opname}_{'x'.join(map(str, layout.widths))}_stream", n,
+        step, (a, b), inner=INNER, overhead=overhead,
     )
-    wps = n / sec
     return wps, wps * layout.num_lanes
 
 
 def bench_pack_unpack(layout, n, overhead):
     """words/s for an unpack->pack roundtrip."""
     v = _rand_words(layout, n, 2)
-    sec = time_chained(
-        lambda x: W.pack(layout, W.unpack(layout, x)),
-        v,
-        inner=INNER,
-        overhead=overhead,
+    return _timed_rate(
+        "pack_unpack_roundtrip", n,
+        lambda x: W.pack(layout, W.unpack(layout, x)), v,
+        inner=16 * INNER, overhead=overhead,
     )
-    return n / sec
 
 
 def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
@@ -107,16 +177,18 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     )
     g = jnp.asarray(qqp.g_lane_fixed(x0))
     u0 = solver.init_words(batch)
-    sec_word = time_chained(
-        solver.solve_words, u0, g, inner=256, reps=3, overhead=overhead
+    rate_word = _timed_rate(
+        "mpc_word_space", batch, solver.solve_words, u0, g,
+        inner=256, reps=5, overhead=overhead,
     )
 
     fused = FusedPGD(qqp, iters=iters, block_rows=2048, interpret=False)
     w1 = jax.jit(solver.solve_words)(u0, g)
     w2 = fused.solve_words(u0, g)
     assert bool(jnp.all(w1 == w2)), "fused solver diverged from reference"
-    sec_fused = time_chained(
-        fused.solve_words, u0, g, inner=256, reps=3, overhead=overhead
+    rate_fused = _timed_rate(
+        "mpc_fused", batch, fused.solve_words, u0, g,
+        inner=1024, reps=5, overhead=overhead,
     )
 
     # equal-accuracy accelerated config: Nesterov momentum reaches the
@@ -129,10 +201,11 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     w3 = accel.solve_words(u0, g)
     w3_ref = jax.jit(AcceleratedPGD(qqp, iters=20).solve_words)(u0, g)
     assert bool(jnp.all(w3 == w3_ref)), "fused momentum diverged"
-    sec_accel = time_chained(
-        accel.solve_words, u0, g, inner=256, reps=3, overhead=overhead
+    rate_accel = _timed_rate(
+        "mpc_fused_momentum", batch, accel.solve_words, u0, g,
+        inner=1024, reps=5, overhead=overhead,
     )
-    return batch / sec_word, batch / sec_fused, batch / sec_accel
+    return rate_word, rate_fused, rate_accel
 
 
 def bench_device_sqp(overhead, batch=4096):
@@ -157,11 +230,109 @@ def bench_device_sqp(overhead, batch=4096):
     ).astype(np.float32)
     x0j = jnp.asarray(x0)
     u0 = dev.init_words(batch)
-    sec = time_chained(
-        lambda w, x: dev._solve_jit(w, x), u0, x0j,
-        inner=32, reps=3, overhead=overhead,
+    return _timed_rate(
+        "device_sqp", batch, lambda w, x: dev._solve_jit(w, x), u0, x0j,
+        inner=32, reps=5, overhead=overhead,
     )
-    return batch / sec
+
+
+def bench_device_sqp_phases(overhead, batch=4096):
+    """Phase attribution for the on-device SQP (the DeviceSQP roofline):
+    times the full solve and each phase as its own chained program --
+    rollout+linearize, condense+quantize (includes rollout), and the
+    fixed-point PGD inner -- so the binding phase is measured, not guessed.
+    Returns a dict of seconds-per-batch numbers plus derived shares."""
+    from pint_tpu.mpc import DeviceSQP
+    from pint_tpu.mpc.ltv import _pgd_batched_h
+
+    dev = DeviceSQP(
+        horizon=32, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+    )
+    rng = np.random.default_rng(0)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.2, 0.2, batch),
+         rng.uniform(0, 1, batch)], axis=-1,
+    ).astype(np.float32)
+    x0j = jnp.asarray(x0)
+    u0 = dev.init_words(batch)
+    T, m, Tm = dev.horizon, dev.n_ctrl, dev.n_dec
+    s = jnp.asarray(dev._lane_scales, jnp.float32)
+    lanes0 = jnp.asarray(
+        rng.integers(-100, 100, (batch, Tm), dtype=np.int32)
+    )
+
+    out = {"batch": batch, "T": T, "sqp_iters": dev.sqp_iters,
+           "pgd_iters": dev.pgd_iters}
+
+    # full solve (4 SQP outers)
+    full = _timed_rate(
+        "sqp_phase_full", batch,
+        lambda w, x: dev._solve_jit(w, x), u0, x0j,
+        inner=32, reps=5, overhead=overhead,
+    )
+    out["full_s_per_batch"] = batch / full
+
+    # rollout + linearize only (per SQP outer)
+    def roll_lin(x, lanes):
+        u_phys = lanes.reshape(-1, T, m).astype(jnp.float32) * s
+        traj = dev.model.rollout_f32(x, u_phys)
+        A_seq, B_seq = dev.model.linearize_f32(traj[:, :-1], u_phys)
+        return x + jnp.mean(A_seq) * jnp.float32(1e-20) + jnp.mean(
+            B_seq
+        ) * jnp.float32(1e-20) + traj[:, -1] * jnp.float32(1e-20)
+
+    # the rollout+linearize step is tiny next to condensation (~100us vs
+    # ~34ms per outer at batch 4096); inner must be large enough that the
+    # chain dwarfs the ~30ms sync overhead or the rate is pure noise
+    rl = _timed_rate(
+        "sqp_phase_rollout_linearize", batch, roll_lin, x0j, lanes0,
+        inner=4096, reps=5, overhead=overhead,
+    )
+    out["rollout_linearize_s_per_outer"] = batch / rl
+
+    # condense + quantize (includes one rollout+linearize; per SQP outer)
+    def cond(x, lanes):
+        Hq, g_pre, hs_num, hs_den = dev._condense_dev(x, lanes)
+        return x + g_pre[:, :3].astype(jnp.float32) * jnp.float32(1e-20) + (
+            Hq[:, 0, :3].astype(jnp.float32) * jnp.float32(1e-20)
+        )
+
+    cd = _timed_rate(
+        "sqp_phase_condense", batch, cond, x0j, lanes0,
+        inner=64, reps=5, overhead=overhead,
+    )
+    out["condense_s_per_outer"] = batch / cd
+
+    # PGD inner loop alone (30 iterations; per SQP outer), with operands
+    # from one real condensation
+    Hq, g_pre, hs_num, hs_den = jax.jit(dev._condense_dev)(x0j, lanes0)
+    pg = _timed_rate(
+        "sqp_phase_pgd", batch,
+        lambda w: _pgd_batched_h(
+            w, g_pre, Hq, hs_num, hs_den,
+            iters=dev.pgd_iters, g_shift=dev.g_shift,
+        ),
+        u0, inner=64, reps=5, overhead=overhead,
+    )
+    out["pgd_s_per_outer"] = batch / pg
+
+    # derived attribution
+    per_outer = out["full_s_per_batch"] / dev.sqp_iters
+    out["per_outer_s"] = per_outer
+    out["phase_shares_of_outer"] = {
+        "rollout_linearize": out["rollout_linearize_s_per_outer"] / per_outer,
+        "condense_extra": (
+            out["condense_s_per_outer"]
+            - out["rollout_linearize_s_per_outer"]
+        ) / per_outer,
+        "pgd": out["pgd_s_per_outer"] / per_outer,
+        "unattributed": 1.0 - (
+            out["condense_s_per_outer"] + out["pgd_s_per_outer"]
+        ) / per_outer,
+    }
+    return out
 
 
 def bench_constrained(overhead, batch=4096, horizon=50):
@@ -197,28 +368,49 @@ def bench_constrained(overhead, batch=4096, horizon=50):
     g = jnp.asarray(solver._q.g_lane_fixed(x0))
     co = jnp.asarray(solver.qcqp.c_off_pre(x0))
     fn = jax.jit(lambda w: solver.solve_words(w, g, co)[0])
-    sec = time_chained(fn, solver.init_words(batch), inner=16, reps=3,
-                       overhead=overhead)
-    return batch / sec
+    return _timed_rate(
+        "mpc_constrained", batch, fn, solver.init_words(batch),
+        inner=32, reps=5, overhead=overhead,
+    )
 
 
-def bench_vpu_ops(overhead, n: int = 1 << 20, ops_per_pass: int = 64) -> float:
-    """Sustained VPU int32 whole-word ops/s: a long fused chain of
-    shift/xor/add on a small (VMEM-resident-per-tile) array, so HBM traffic
-    per op is negligible.  Feeds roofline_report's vpu_ops_per_s."""
-    x0 = jnp.arange(n, dtype=jnp.uint32)
+def bench_vpu_ops(overhead, n: int = 1 << 18, ops_per_pass: int = 64,
+                  lanes: int = 4) -> float:
+    """Sustained VPU int32 whole-word ops/s: ``lanes`` INDEPENDENT fused
+    chains of shift/xor/add on small (VMEM-resident) arrays, so HBM
+    traffic per op is negligible and the VPU can multi-issue across the
+    chains.  Feeds roofline_report's vpu_ops_per_s.
+
+    A single dependent chain measures issue LATENCY throughput (~3.7
+    Tops/s here) and understates the bound -- the word formulas have
+    parallel subexpressions, so several of them measured >1x "efficiency"
+    against it.  Four interleaved chains expose the instruction-level
+    parallelism a real formula body has.
+    """
+    xs0 = tuple(
+        jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(i) for i in range(lanes)
+    )
     c1 = jnp.uint32(0x9E3779B9)
 
-    def step(x):
+    def step(xs):
+        xs = list(xs)
         for _ in range(ops_per_pass // 4):
-            x = x ^ (x << jnp.uint32(1))
-            x = x + c1
-            x = x ^ (x >> jnp.uint32(3))
-            x = x | jnp.uint32(1)
-        return x
+            for i in range(lanes):
+                xs[i] = xs[i] ^ (xs[i] << jnp.uint32(1))
+            for i in range(lanes):
+                xs[i] = xs[i] + c1
+            for i in range(lanes):
+                xs[i] = xs[i] ^ (xs[i] >> jnp.uint32(3))
+            for i in range(lanes):
+                xs[i] = xs[i] | jnp.uint32(1)
+        return tuple(xs)
 
-    sec = time_chained(step, x0, inner=INNER, overhead=overhead)
-    return n * ops_per_pass / sec
+    # each pass is ~12us: inner=16384 keeps the chain ~200ms so the ~30ms
+    # sync jitter stays a few percent (inner=1024 gave 5-26 Tops/s noise)
+    return _timed_rate(
+        "vpu_int32_ops", n * lanes * ops_per_pass, step, xs0,
+        inner=16384, overhead=overhead,
+    )
 
 
 def bench_width_sweep(overhead) -> dict:
@@ -329,8 +521,10 @@ def bench_unpacked_comparator(overhead, n_items: int):
         wide = x.astype(jnp.int16) + y.astype(jnp.int16)
         return jnp.minimum(wide, cap).astype(jnp.int8)
 
-    sec = time_chained(step, a, b, inner=INNER, overhead=overhead)
-    return n_items * 7 / sec
+    return _timed_rate(
+        "unpacked_comparator_het7", n_items * 7, step, a, b,
+        inner=INNER, overhead=overhead,
+    )
 
 
 def bench_rollouts(overhead, batch=8192, horizon=52):
@@ -353,15 +547,11 @@ def bench_rollouts(overhead, batch=8192, horizon=52):
 
     # the rollout step is ~25 us; inner=2048 keeps total compute well above
     # the ~33ms sync jitter (inner=256 produced nonsense rates)
-    sec = time_chained(
-        step,
-        jnp.zeros((batch, 2), jnp.int32),
-        words,
-        inner=2048,
-        reps=3,
-        overhead=overhead,
+    return _timed_rate(
+        "rollouts_di", batch, step,
+        jnp.zeros((batch, 2), jnp.int32), words,
+        inner=8192, reps=5, overhead=overhead,
     )
-    return batch / sec
 
 
 def _enable_compile_cache() -> None:
@@ -428,11 +618,11 @@ def main() -> None:
     # The raw-add calibration brackets the packed measurement (before and
     # after) so clock/thermal drift cancels out of the ratio.
     lay8888 = PackedLayout(8, 8, 8, 8)
-    raw_wps_1 = bench_raw_add(N_WORDS, overhead)
+    raw_wps_1 = bench_raw_add(N_WORDS, overhead, tag="_pre", inner=2 * INNER)
     wps, lps = bench_packed_op(
-        lay8888, "add_unsigned_saturate", N_WORDS, overhead
+        lay8888, "add_unsigned_saturate", N_WORDS, overhead, inner=2 * INNER
     )
-    raw_wps_2 = bench_raw_add(N_WORDS, overhead)
+    raw_wps_2 = bench_raw_add(N_WORDS, overhead, tag="_post", inner=2 * INNER)
     raw_wps = 0.5 * (raw_wps_1 + raw_wps_2)
     results["baseline_raw_u32_add_Gwords_per_s"] = raw_wps / 1e9
     results["addsat_u8x4_Gwords_per_s"] = wps / 1e9
@@ -441,19 +631,75 @@ def main() -> None:
     vs_sol = lps / sol_lanes
     results["addsat_u8x4_vs_speed_of_light"] = vs_sol
 
-    # reference's heterogeneous 7-lane config: AddWrap/SubWrap/AddSatU2/
-    # AddSatS2 families (pint_bench.cpp:85-151, 224-270, 274-369, 586-632)
+    # the FULL op surface on both reference configs: the wrap/saturate
+    # families of pint_bench.cpp:85-684 plus min/max, sub-saturates and
+    # shifts (so the roofline section below covers every public op family).
+    #
+    # Two regimes, measured separately:
+    #  * VMEM-resident (2Mi words): pure per-op compute rate -> the
+    #    roofline table vs the VPU/VMEM bound.
+    #  * HBM-streaming ping-pong (16Mi words, both operands varying):
+    #    the memory-bound regime; every op saturates the same ~43 Gwords/s
+    #    so only the four reference bench families are reported.
     lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
-    for op in (
+    all_ops = (
         "add_wrap",
         "sub_wrap",
         "add_unsigned_saturate",
+        "sub_unsigned_saturate",
         "add_signed_saturate",
-    ):
-        _, lps_h = bench_packed_op(lay_het, op, N_WORDS, overhead)
-        results[f"{op}_het7_Glanes_per_s"] = lps_h / 1e9
-    _, lps_s = bench_packed_op(lay8888, "add_signed_saturate", N_WORDS, overhead)
-    results["addsat_s8x4_Glanes_per_s"] = lps_s / 1e9
+        "sub_signed_saturate",
+        "min_unsigned",
+        "max_unsigned",
+        "min_signed",
+        "max_signed",
+        "shift_left",
+        "shift_right_unsigned",
+    )
+    N_VMEM = 1 << 21
+    INNER_VMEM = 65536
+    raw_vmem_wps = bench_raw_add(
+        N_VMEM, overhead, tag="_vmem", inner=INNER_VMEM
+    )
+    results["raw_u32_add_vmem_Gwords_per_s"] = raw_vmem_wps / 1e9
+    measured_wps = {"u8x4": {}, "het7": {}}
+    for cfg, lay in (("u8x4", lay8888), ("het7", lay_het)):
+        for op in all_ops:
+            wps_c, lps_c = bench_packed_op(
+                lay, op, N_VMEM, overhead, inner=INNER_VMEM, tag="_vmem"
+            )
+            measured_wps[cfg][op] = wps_c
+            results[f"{op}_{cfg}_vmem_Glanes_per_s"] = lps_c / 1e9
+    results["addsat_s8x4_vmem_Glanes_per_s"] = results[
+        "add_signed_saturate_u8x4_vmem_Glanes_per_s"
+    ]
+
+    # HBM-streaming regime: reference bench families (AddWrap/SubWrap/
+    # AddSatU/AddSatS fixtures, pint_bench.cpp:85-151, 224-270, 274-369,
+    # 586-632) on both configs
+    for cfg, lay in (("u8x4", lay8888), ("het7", lay_het)):
+        for op in ("add_wrap", "sub_wrap", "add_unsigned_saturate",
+                   "add_signed_saturate"):
+            s_wps, s_lps = bench_stream_pingpong(lay, op, N_WORDS, overhead)
+            results[f"{op}_{cfg}_stream_Glanes_per_s"] = s_lps / 1e9
+
+    # roofline: every op's VMEM-resident compute rate vs its bound --
+    # min(VMEM streaming rate for its traffic, VPU rate / whole-word op
+    # count).  Memory rate comes from the raw-add calibration in the SAME
+    # regime; sustained VPU int32 rate from the fused-chain microbench.
+    from pint_tpu.utils.profiling import roofline_report
+
+    vpu_ops = bench_vpu_ops(overhead)
+    results["vpu_int32_Tops_per_s"] = vpu_ops / 1e12
+    vmem_Bps = raw_vmem_wps * 12.0
+    results["vmem_bytes_per_s_from_calibration"] = vmem_Bps
+    results["roofline"] = {
+        cfg: roofline_report(
+            lay, measured_wps[cfg], mem_bytes_per_s=vmem_Bps,
+            vpu_ops_per_s=vpu_ops,
+        )
+        for cfg, lay in (("u8x4", lay8888), ("het7", lay_het))
+    }
 
     results["pack_unpack_roundtrip_u8x4_Gwords_per_s"] = (
         bench_pack_unpack(lay8888, N_WORDS // 2, overhead) / 1e9
@@ -461,13 +707,19 @@ def main() -> None:
 
     # per-field no-SWAR comparator for the hetero config (the reference's
     # bitfield-union baseline, pint_bench.cpp:274-369): same logical lanes,
-    # one int8 byte per field
+    # one int8 byte per field.  The packed side is measured in the SAME
+    # regime (big-N single-carry chain: fixed operand streamed, carry
+    # resident) so the ratio is like-for-like.
     try:
         unpacked_lps = bench_unpacked_comparator(overhead, N_WORDS)
         results["addsat_u_het7_unpacked_int8_Glanes_per_s"] = unpacked_lps / 1e9
+        _, packed_big_lps = bench_packed_op(
+            lay_het, "add_unsigned_saturate", N_WORDS, overhead,
+            tag="_hbm1",
+        )
+        results["addsat_u_het7_hbm1_Glanes_per_s"] = packed_big_lps / 1e9
         results["addsat_u_het7_swar_speedup_vs_unpacked"] = (
-            results["add_unsigned_saturate_het7_Glanes_per_s"]
-            / (unpacked_lps / 1e9)
+            packed_big_lps / unpacked_lps
         )
     except Exception as e:
         results["unpacked_comparator_error"] = repr(e)
@@ -485,6 +737,13 @@ def main() -> None:
         results["device_sqp_error"] = repr(e)
 
     try:
+        results["mpc_constrained_solves_per_s_b4096_T50_i12x60"] = (
+            bench_constrained(overhead)
+        )
+    except Exception as e:
+        results["constrained_error"] = repr(e)
+
+    try:
         word_rate, fused_rate, accel_rate = bench_mpc(overhead)
         results["mpc_solves_per_s_b8192_h50_i40"] = word_rate
         results["mpc_fused_solves_per_s_b8192_h50_i40"] = fused_rate
@@ -492,6 +751,13 @@ def main() -> None:
     except Exception as e:  # keep the headline metric robust
         results["mpc_error"] = repr(e)
 
+    if "--sqp" in sys.argv:
+        try:
+            results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
+        except Exception as e:
+            results["device_sqp_phases_error"] = repr(e)
+
+    results["spread"] = SPREADS
     results["device"] = str(jax.devices()[0])
     with open("BENCH_full.json", "w") as f:
         json.dump(results, f, indent=2)

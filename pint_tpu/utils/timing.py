@@ -54,6 +54,7 @@ def time_chained(
     reps: int = 5,
     inner: int = 100,
     overhead: Optional[float] = None,
+    stats_out: Optional[list] = None,
 ) -> float:
     """Median seconds per execution of ``step(x, *consts) -> x_next``.
 
@@ -63,6 +64,11 @@ def time_chained(
     `lax.fori_loop` program, so each timed sample pays the host round-trip
     once for ``inner`` executions; the measured round-trip overhead is
     subtracted on top.
+
+    If ``stats_out`` is given, ``(sec_min, sec_median, sec_max)`` across
+    the ``reps`` samples is appended to it -- the per-metric spread the
+    bench records so run-to-run variance is visible per metric instead of
+    as prose ranges.
     """
 
     @jax.jit
@@ -82,5 +88,11 @@ def time_chained(
         x = chain(x0, *consts)
         _sync_scalar(x)
         times.append(time.perf_counter() - t0 - overhead)
-    sec = float(np.median(times)) / inner
-    return max(sec, 1e-12)
+    per = np.asarray(times, dtype=float) / inner
+    if stats_out is not None:
+        stats_out.append(
+            (max(float(per.min()), 1e-12),
+             max(float(np.median(per)), 1e-12),
+             max(float(per.max()), 1e-12))
+        )
+    return max(float(np.median(per)), 1e-12)

@@ -112,13 +112,17 @@ def test_roofline_report():
     assert costs["add_wrap"] == 6
     rep = roofline_report(
         lay,
-        {"add_wrap": 50e9, "add_unsigned_saturate": 40e9},
-        hbm_bytes_per_s=819e9,
+        {"add_wrap": 50e9, "add_unsigned_saturate": 40e9, "shift_left": 60e9},
+        mem_bytes_per_s=819e9,
         vpu_ops_per_s=4e12,
     )
     for op, row in rep.items():
         assert 0 < row["efficiency"] < 2
-        assert row["bound"] in ("hbm", "vpu")
+        assert row["bound"] in ("mem", "vpu")
+    # shifts stream 2 words, binops 3: the shift memory bound is 1.5x higher
+    assert rep["shift_left"]["speed_of_light_Gwords_per_s"] > rep[
+        "add_wrap"
+    ]["speed_of_light_Gwords_per_s"]
 
 
 def test_time_chained_measures_order_of_magnitude():
