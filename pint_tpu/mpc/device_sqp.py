@@ -106,31 +106,20 @@ class DeviceSQP:
         return jnp.zeros((batch, self.n_dec // 4), jnp.uint32)
 
     # -- on-device condensation -------------------------------------------------
+    #
+    # Split into phase methods so the bench can time each stage exactly as
+    # composed (bench.py bench_device_sqp_phases; VERDICT round-1 item 4):
+    # _linearize_phase -> _propagate_phase -> _reduce_phase ->
+    # _lipschitz_phase -> _quantize_phase, composed by _condense_dev.
 
-    def _condense_dev(self, x0_f: Array, lanes: Array):
-        """f32 linearize + condense + quantize, fully traced.
+    def _linearize_phase(self, x0_f: Array, lanes: Array):
+        """f32 rollout + linearization around the current lane plan.
 
-        x0_f (B, n) f32; lanes (B, Tm) int32.  Returns (Hq int8, g_pre
-        int32, hs_num int32, hs_den int32) with Tp == Tm (no padding: the
-        packing constraint already makes Tm a multiple of 4).
+        Returns (A_seq (B,T,n,n), B_lane (B,T,n,m) already lane-scaled,
+        c_seq (B,T,n) affine residuals).
         """
         T, m = self.horizon, self.n_ctrl
-        Tm = self.n_dec
         s = jnp.asarray(self._lane_scales, jnp.float32)
-        Q = jnp.asarray(self.Q, jnp.float32)
-        Qf = jnp.asarray(self._Qf, jnp.float32)
-        R_lane_np = (
-            self._lane_scales[:, None]
-            * np.asarray(self.R)
-            * self._lane_scales[None, :]
-        )
-        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
-        x_ref = np.broadcast_to(
-            np.asarray(self.x_ref, np.float64),
-            (T, np.asarray(self.Q).shape[0]),
-        )
-        x_ref = jnp.asarray(x_ref, jnp.float32)
-
         u_phys = lanes.reshape(-1, T, m).astype(jnp.float32) * s
         traj = self.model.rollout_f32(x0_f, u_phys)          # (B, T+1, n)
         n = traj.shape[-1]
@@ -151,8 +140,18 @@ class DeviceSQP:
             - jnp.einsum("bkij,bkj->bki", B_seq, u_phys)
         )
         B_lane = B_seq * s                                    # (B, T, n, m)
+        return A_seq, B_lane, c_seq
 
-        batch = x0_f.shape[0]
+    def _propagate_phase(self, A_seq: Array, B_lane: Array, c_seq: Array):
+        """Forward scan building the condensed propagators.
+
+        Returns time-first stacks (Abar (T,B,n,n), Bbar_all (T,B,n,Tm),
+        Cbar (T,B,n)).
+        """
+        T, m = self.horizon, self.n_ctrl
+        Tm = self.n_dec
+        n = A_seq.shape[-1]
+        batch = A_seq.shape[0]
 
         # forward recursion over k (scan), batched over problems
         def body(carry, inp):
@@ -168,7 +167,7 @@ class DeviceSQP:
 
         # derive the scan init from the (possibly device-varying) input so
         # carry-in and carry-out agree under shard_map's varying-axes check
-        zero_b = jnp.zeros_like(x0_f[..., 0]).astype(jnp.float32)  # (B,)
+        zero_b = (A_seq[:, 0, 0, 0] * 0.0).astype(jnp.float32)   # (B,)
         init = (
             jnp.eye(n, dtype=jnp.float32) + zero_b[:, None, None],
             jnp.zeros((batch, n, Tm), jnp.float32) + zero_b[:, None, None],
@@ -182,6 +181,27 @@ class DeviceSQP:
         )
         _, (Abar, Bbar_all, Cbar) = jax.lax.scan(body, init, xs)
         # stacked time-first: (T, B, n, ...)
+        return Abar, Bbar_all, Cbar
+
+    def _reduce_phase(
+        self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
+    ):
+        """MXU einsum contractions: condensed Hessian H (B,Tm,Tm) and
+        linear term g (B,Tm)."""
+        T = self.horizon
+        Q = jnp.asarray(self.Q, jnp.float32)
+        Qf = jnp.asarray(self._Qf, jnp.float32)
+        R_lane_np = (
+            self._lane_scales[:, None]
+            * np.asarray(self.R)
+            * self._lane_scales[None, :]
+        )
+        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
+        x_ref = np.broadcast_to(
+            np.asarray(self.x_ref, np.float64),
+            (T, np.asarray(self.Q).shape[0]),
+        )
+        x_ref = jnp.asarray(x_ref, jnp.float32)
         Cx = Cbar - x_ref[:, None, :]                         # (T, B, n)
 
         BQ = jnp.einsum("kbin,ij->kbjn", Bbar_all, Q)
@@ -194,23 +214,46 @@ class DeviceSQP:
         G = G + jnp.einsum("bjn,bjq->bnq", BQT, Abar[T - 1])
         g_ref = jnp.einsum("kbjn,kbj->bn", BQ, Cx)
         g_ref = g_ref + jnp.einsum("bjn,bj->bn", BQT, Cx[T - 1])
+        g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+        return H, g
 
-        # power iteration for lambda_max (H is PSD)
+    def _lipschitz_phase(self, H: Array) -> Array:
+        """Power iteration for lambda_max(H) (PSD), 1.05 safety factor."""
+        Tm = self.n_dec
+        batch = H.shape[0]
+
         def pit(_, v):
             w = jnp.einsum("bnm,bm->bn", H, v)
             return w / (
                 jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-30
             )
 
+        zero_b = (H[:, 0, 0] * 0.0).astype(jnp.float32)       # (B,)
         v0 = (
             jnp.full((batch, Tm), 1.0 / np.sqrt(Tm), jnp.float32)
             + zero_b[:, None]
         )
         v = jax.lax.fori_loop(0, self.power_iters, pit, v0)
         hv = jnp.einsum("bnm,bm->bn", H, v)
-        lip = jnp.einsum("bn,bn->b", v, hv) * np.float32(1.05)
+        return jnp.einsum("bn,bn->b", v, hv) * np.float32(1.05)
 
-        # quantization (same formulas as mpc.condensed.quantize, u_scale=1)
+    def _condense_dev(self, x0_f: Array, lanes: Array):
+        """f32 linearize + condense + quantize, fully traced.
+
+        x0_f (B, n) f32; lanes (B, Tm) int32.  Returns (Hq int8, g_pre
+        int32, hs_num int32, hs_den int32) with Tp == Tm (no padding: the
+        packing constraint already makes Tm a multiple of 4).
+        """
+        A_seq, B_lane, c_seq = self._linearize_phase(x0_f, lanes)
+        Abar, Bbar_all, Cbar = self._propagate_phase(A_seq, B_lane, c_seq)
+        H, g = self._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
+        lip = self._lipschitz_phase(H)
+        return self._quantize_phase(H, g, lip)
+
+    def _quantize_phase(self, H: Array, g: Array, lip: Array):
+        """int8 Hessian + int32 step rationals (same formulas as
+        mpc.condensed.quantize, u_scale=1)."""
+        Tm = self.n_dec
         alpha = 1.0 / lip                                     # (B,)
         aH = alpha[:, None, None] * H
         h_scale = jnp.max(jnp.abs(aH), axis=(1, 2)) / 127.0
