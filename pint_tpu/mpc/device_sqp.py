@@ -260,7 +260,6 @@ class DeviceSQP:
         Hq = jnp.clip(
             jnp.round(aH / h_scale[:, None, None]), -127, 127
         ).astype(jnp.int8)
-        g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
         # mirror the host path's corrupted-input guard (QuantizedQP
         # .g_lane_fixed): non-finite linear terms saturate / zero instead
         # of tracing NaN into the int32 conversion
