@@ -304,6 +304,34 @@ def bench_device_sqp_phases(overhead, batch=4096):
         inner=64, reps=5, overhead=overhead,
     )
     out["condense_s_per_outer"] = batch / cd
+    out["propagate_mode"] = dev.propagate
+
+    # H/g assembly alone (condense minus Lipschitz + quantize)
+    def cond_hg(x, lanes):
+        H, g = dev._condense_hg(x, lanes)
+        return x + g[:, :3] * jnp.float32(1e-20) + (
+            H[:, 0, :3] * jnp.float32(1e-20)
+        )
+
+    hg = _timed_rate(
+        "sqp_phase_condense_hg", batch, cond_hg, x0j, lanes0,
+        inner=64, reps=5, overhead=overhead,
+    )
+    out["condense_hg_s_per_outer"] = batch / hg
+
+    # power-iteration Lipschitz alone, on a real condensed Hessian
+    H_real, _ = jax.jit(dev._condense_hg)(x0j, lanes0)
+
+    def lipschitz(H):
+        return H + dev._lipschitz_phase(H)[:, None, None] * jnp.float32(
+            1e-20
+        )
+
+    lp = _timed_rate(
+        "sqp_phase_lipschitz", H_real.shape[0], lipschitz, H_real,
+        inner=64, reps=5, overhead=overhead,
+    )
+    out["lipschitz_s_per_outer"] = batch / lp
 
     # PGD inner loop alone (30 iterations; per SQP outer), with operands
     # from one real condensation
@@ -323,9 +351,15 @@ def bench_device_sqp_phases(overhead, batch=4096):
     out["per_outer_s"] = per_outer
     out["phase_shares_of_outer"] = {
         "rollout_linearize": out["rollout_linearize_s_per_outer"] / per_outer,
-        "condense_extra": (
-            out["condense_s_per_outer"]
+        "hg_assembly_extra": (
+            out["condense_hg_s_per_outer"]
             - out["rollout_linearize_s_per_outer"]
+        ) / per_outer,
+        "lipschitz": out["lipschitz_s_per_outer"] / per_outer,
+        "quantize_extra": (
+            out["condense_s_per_outer"]
+            - out["condense_hg_s_per_outer"]
+            - out["lipschitz_s_per_outer"]
         ) / per_outer,
         "pgd": out["pgd_s_per_outer"] / per_outer,
         "unattributed": 1.0 - (

@@ -9,8 +9,13 @@ with zero host round-trips:
 * nominal rollout + linearization: the model's float32 jnp twins
   (``rollout_f32`` / ``linearize_f32`` -- same discrete maps, same
   quadratic trig as the f64 references),
-* condensation: a `lax.scan` forward recursion producing the per-step
-  propagators, then batched f32 einsum contractions on the MXU,
+* condensation: all (T x T) propagator blocks in closed form --
+  log-depth `associative_scan` prefix products and ONE masked einsum
+  (S[k,j] = P_k (P_j^-1 B_j)) -- then batched f32 einsum contractions
+  on the MXU.  The sequential T-step scan recursion is kept as
+  ``propagate="scan"`` (the numerical cross-check; it was 88% of an
+  outer iteration at T=32, B=4096 -- BENCH_full.json
+  device_sqp_phases, round 1),
 * Lipschitz constant: power iteration on the condensed Hessian (PSD, so
   the iterate converges to lambda_max; a 1.05 safety factor keeps the PGD
   step conservative against the truncated iteration),
@@ -47,6 +52,34 @@ Array = jax.Array
 __all__ = ["DeviceSQP"]
 
 
+def _inv_unrolled(M: Array) -> Array:
+    """Batched small-matrix inverse by pivot-free Gauss-Jordan.
+
+    The lane dim n is static (2..6 for the model zoo) so the elimination
+    unrolls into n elementwise row updates over the (B, T) batch — pure
+    VPU work, no LU kernels (``jnp.linalg.inv``'s batched LU measures
+    catastrophically slow on TPU for tiny matrices).  Pivot-free is exact
+    here: the inputs are one-step discretizations A = I + O(dt), so the
+    diagonal never degenerates.
+    """
+    n = M.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    aug = jnp.concatenate([M, eye], axis=-1)               # (..., n, 2n)
+    for p in range(n):
+        pivot = aug[..., p, :] / aug[..., p, p : p + 1]
+        aug = aug - aug[..., :, p : p + 1] * pivot[..., None, :]
+        aug = aug.at[..., p, :].set(pivot)
+    return aug[..., :, n:]
+
+
+def _block_diag(D: Array) -> Array:
+    """(B, T, m, m) per-step blocks -> (B, T*m, T*m) block diagonal."""
+    T, m = D.shape[1], D.shape[2]
+    eye = jnp.eye(T, dtype=D.dtype)
+    full = jnp.einsum("bpij,pq->bpiqj", D, eye)
+    return full.reshape(-1, T * m, T * m)
+
+
 @dataclasses.dataclass(frozen=True)
 class DeviceSQP:
     """On-device SQP trajectory optimizer on packed int8 plans.
@@ -76,6 +109,10 @@ class DeviceSQP:
     pgd_iters: int = 40
     g_shift: int = 12
     power_iters: int = 16
+    propagate: str = "allpairs"
+    """Condensation propagator construction: "allpairs" (log-depth prefix
+    products + one masked einsum — the fast path) or "scan" (sequential
+    T-step recursion — the numerical reference)."""
 
     @functools.cached_property
     def _Qf(self) -> np.ndarray:
@@ -84,6 +121,11 @@ class DeviceSQP:
         return self.qf_scale * np.asarray(self.Q, float)
 
     def __post_init__(self):
+        if self.propagate not in ("allpairs", "scan"):
+            raise ValueError(
+                f"propagate must be 'allpairs' or 'scan', got "
+                f"{self.propagate!r}"
+            )
         if self.n_dec % 4:
             raise ValueError(
                 f"horizon*n_ctrl = {self.n_dec} must be a multiple of 4 "
@@ -109,7 +151,8 @@ class DeviceSQP:
     #
     # Split into phase methods so the bench can time each stage exactly as
     # composed (bench.py bench_device_sqp_phases; VERDICT round-1 item 4):
-    # _linearize_phase -> _propagate_phase -> _reduce_phase ->
+    # _linearize_phase -> _condense_hg (allpairs closed form, or
+    # _propagate_scan -> _reduce_phase on the cross-check path) ->
     # _lipschitz_phase -> _quantize_phase, composed by _condense_dev.
 
     def _linearize_phase(self, x0_f: Array, lanes: Array):
@@ -142,12 +185,103 @@ class DeviceSQP:
         B_lane = B_seq * s                                    # (B, T, n, m)
         return A_seq, B_lane, c_seq
 
-    def _propagate_phase(self, A_seq: Array, B_lane: Array, c_seq: Array):
-        """Forward scan building the condensed propagators.
+    def _condense_allpairs(self, A_seq: Array, B_lane: Array,
+                           c_seq: Array, x0_f: Array):
+        """Closed-form condensation — no propagator tensor, no recursion.
 
-        Returns time-first stacks (Abar (T,B,n,n), Bbar_all (T,B,n,Tm),
-        Cbar (T,B,n)).
+        The sequential form is S[k] = A_k S[k-1] + e_k B_k: T dependent
+        steps of tiny (n=2..6) batched matmuls plus a (B,n,Tm)
+        dynamic_update_slice each — latency-bound, and the dominant cost
+        of the whole SQP solve (88% of an outer iteration at T=32,
+        B=4096; BENCH_full.json device_sqp_phases, round 1).  Building
+        the (B, T·n, T·m) propagator stack explicitly is no better on
+        TPU: its batched small-matrix inverses and the n-contraction
+        einsum writing 100MB of S measure 5.8x SLOWER than the scan.
+
+        So never build S.  With prefix products P_k = A_k···A_0 (log-depth
+        `associative_scan`), their inverses (from per-step Gauss-Jordan
+        inverses, exact for the well-conditioned one-step discretizations
+        A_k = I + O(dt)), W_j = P_j^{-1} B_j, and the suffix sums
+
+            M'_j = sum_{k>=j} P_k^T Q P_k  +  P_{T-1}^T (Qf-Q) P_{T-1}
+            r_j  = sum_{k>=j} P_k^T Q Cx_k +  P_{T-1}^T (Qf-Q) Cx_{T-1}
+
+        every condensed block is a closed form in (B,T,n,n)-sized pieces:
+
+            H[j1,j2] = W_{j1}^T M'_{max(j1,j2)} W_{j2}   (+ R_kron diag)
+            G[j]     = (M'_j W_j)^T = Y_j^T              (free transpose)
+            g        = G x0 + [W_j^T r_j]_j
+
+        The only Tm x Tm object materialized is H itself: one upper-
+        triangle einsum W_p^T Y_q (p<=q) plus its transpose.  Agreement
+        with the scan path is f32-roundoff-level
+        (tests/test_device_sqp.py::test_propagate_paths_agree).
         """
+        T, m = self.horizon, self.n_ctrl
+        n = A_seq.shape[-1]
+        Q = jnp.asarray(self.Q, jnp.float32)
+        Qf = jnp.asarray(self._Qf, jnp.float32)
+        R_lane_np = (
+            self._lane_scales[:, None]
+            * np.asarray(self.R)
+            * self._lane_scales[None, :]
+        )
+        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
+        x_ref = np.broadcast_to(
+            np.asarray(self.x_ref, np.float64), (T, n)
+        )
+        x_ref = jnp.asarray(x_ref, jnp.float32)
+
+        # prefix products P_k = A_k ... A_0 and their inverses, (B,T,n,n);
+        # combine(earlier x, later y) applies x first -> y @ x
+        P = jax.lax.associative_scan(
+            lambda x, y: y @ x, A_seq, axis=1
+        )
+        Ainv = _inv_unrolled(A_seq)
+        Pinv = jax.lax.associative_scan(
+            lambda x, y: x @ y, Ainv, axis=1
+        )
+        W = Pinv @ B_lane                                    # (B, T, n, m)
+
+        # Cx_k = Cbar_k - x_ref = P_k cumsum_j(Pinv_j c_j) - x_ref
+        v = jnp.einsum("bjin,bjn->bji", Pinv, c_seq)
+        Cbar = jnp.einsum("bkin,bkn->bki", P, jnp.cumsum(v, axis=1))
+        Cx = Cbar - x_ref[None, :, :]                        # (B, T, n)
+
+        QP = jnp.einsum("ij,bkjq->bkiq", Q, P)               # (B,T,n,n)
+        E = jnp.einsum("bkiq,bkir->bkqr", QP, P)             # P_k^T Q P_k
+        PT = P[:, T - 1]
+        FT = jnp.einsum("biq,ij,bjr->bqr", PT, Qf - Q, PT)   # terminal
+        # suffix sums: M'_j = sum_{k>=j} E_k + FT
+        Mp = jnp.flip(
+            jnp.cumsum(jnp.flip(E, axis=1), axis=1), axis=1
+        ) + FT[:, None]
+        d = jnp.einsum("bkiq,bki->bkq", QP, Cx)              # P_k^T Q Cx_k
+        r = jnp.flip(jnp.cumsum(jnp.flip(d, axis=1), axis=1), axis=1)
+        r = r + jnp.einsum(
+            "biq,ij,bj->bq", PT, Qf - Q, Cx[:, T - 1]
+        )[:, None]
+
+        Y = Mp @ W                                           # (B, T, n, m)
+        # upper triangle (j1 <= j2): W_{j1}^T Y_{j2}
+        U = jnp.einsum("bpni,bqnj->bpiqj", W, Y)             # (B,T,m,T,m)
+        mask = (
+            jnp.arange(T)[:, None] <= jnp.arange(T)[None, :]
+        ).astype(U.dtype)
+        U = U * mask[None, :, None, :, None]
+        U = U.reshape(-1, T * m, T * m)
+        D = jnp.einsum("bpni,bpnj->bpij", W, Y)              # diag blocks
+        H = U + jnp.swapaxes(U, 1, 2) - _block_diag(D) + R_kron
+        G = jnp.swapaxes(Y, 2, 3)                            # (B,T,m,n)
+        g_x0 = jnp.einsum(
+            "bpmq,bq->bpm", G, x0_f.astype(jnp.float32)
+        )
+        g_ref = jnp.einsum("bpni,bpn->bpi", W, r)
+        g = (g_x0 + g_ref).reshape(-1, T * m)
+        return H, g
+
+    def _propagate_scan(self, A_seq: Array, B_lane: Array, c_seq: Array):
+        """The original forward `lax.scan` recursion (reference path)."""
         T, m = self.horizon, self.n_ctrl
         Tm = self.n_dec
         n = A_seq.shape[-1]
@@ -244,11 +378,18 @@ class DeviceSQP:
         int32, hs_num int32, hs_den int32) with Tp == Tm (no padding: the
         packing constraint already makes Tm a multiple of 4).
         """
-        A_seq, B_lane, c_seq = self._linearize_phase(x0_f, lanes)
-        Abar, Bbar_all, Cbar = self._propagate_phase(A_seq, B_lane, c_seq)
-        H, g = self._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
+        H, g = self._condense_hg(x0_f, lanes)
         lip = self._lipschitz_phase(H)
         return self._quantize_phase(H, g, lip)
+
+    def _condense_hg(self, x0_f: Array, lanes: Array):
+        """Condensed (H (B,Tm,Tm), g (B,Tm)) via the configured
+        ``propagate`` path (f32)."""
+        A_seq, B_lane, c_seq = self._linearize_phase(x0_f, lanes)
+        if self.propagate == "allpairs":
+            return self._condense_allpairs(A_seq, B_lane, c_seq, x0_f)
+        Abar, Bbar_all, Cbar = self._propagate_scan(A_seq, B_lane, c_seq)
+        return self._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
 
     def _quantize_phase(self, H: Array, g: Array, lip: Array):
         """int8 Hessian + int32 step rationals (same formulas as

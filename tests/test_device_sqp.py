@@ -163,6 +163,44 @@ def test_device_sqp_sharded_rejects_bad_tp():
         bad.sharded_solve_words(make_mesh(dp=1, tp=8))
 
 
+@pytest.mark.parametrize("model_n", [(None, 3), ("pendulum", 2)])
+def test_propagate_paths_agree(model_n, pair):
+    """The closed-form all-pairs condensation (suffix-sum H/g, no
+    propagator tensor) agrees with the sequential scan + reduce path to
+    f32 roundoff on the condensed (H, g), and the quantized end-to-end
+    solves land within one int8 lane step of each other."""
+    name, n = model_n
+    kw = dict(horizon=16, sqp_iters=2, pgd_iters=10)
+    if name == "pendulum":
+        kw.update(model=Pendulum(), Q=np.diag([1.0, 0.05]),
+                  R=np.array([[0.05]]), x_ref=np.zeros(2))
+    d_new = DeviceSQP(**kw)
+    d_old = DeviceSQP(**kw, propagate="scan")
+    rng = np.random.default_rng(0)
+    batch = 8
+    x0 = jnp.asarray(rng.normal(size=(batch, n)) * 0.5, jnp.float32)
+    lanes = jnp.asarray(
+        rng.integers(-40, 40, size=(batch, d_new.n_dec)), jnp.int32
+    )
+    for a, b in zip(d_new._condense_hg(x0, lanes),
+                    d_old._condense_hg(x0, lanes)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * (np.abs(b).max() + 1e-12)
+    from pint_tpu.models.dynamics import unpack_controls
+    w_new = d_new.solve_words(d_new.init_words(batch), x0)
+    w_old = d_old.solve_words(d_old.init_words(batch), x0)
+    l_new = np.asarray(unpack_controls(w_new), np.int64)
+    l_old = np.asarray(unpack_controls(w_old), np.int64)
+    l_new = (l_new + 128) % 256 - 128  # uint lanes -> signed
+    l_old = (l_old + 128) % 256 - 128
+    assert np.abs(l_new - l_old).max() <= 1
+
+
+def test_propagate_validated():
+    with pytest.raises(ValueError, match="propagate"):
+        DeviceSQP(propagate="magic")
+
+
 def test_device_sqp_nan_input_isolated(pair):
     """A corrupted (NaN) problem neither crashes the batch nor perturbs
     its companions (the non-finite guard mirrors the host path)."""

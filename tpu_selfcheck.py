@@ -15,6 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Pallas/matmul compiles through the axon tunnel take minutes; reuse
+# bench.py's persistent cache so repeat selfchecks are seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 
 def main() -> None:
     from pint_tpu import PackedLayout
