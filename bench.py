@@ -19,13 +19,24 @@ Timing methodology: the backend is asynchronous and host round-trips cost
 executions through a data dependency inside one `fori_loop` program and
 syncs once via a scalar host fetch.
 
-Outputs ONE JSON line on stdout (driver contract); the full metric table is
-written to BENCH_full.json.
+Outputs ONE JSON line on stdout (driver contract); progress goes to stderr.
+
+Modes (the driver's plain ``python bench.py`` must finish inside its hard
+timeout even with a cold compile cache, so the heavy suites are opt-in):
+
+* default: headline speed-of-light ratio + MPC solves/s headliners, reps=3,
+  wall-clock budget ``BENCH_BUDGET_S`` (default 900s) with per-section
+  skip gates -> BENCH_default.json.
+* ``--full``: no budget gates, reps=5, plus the per-op two-regime table,
+  roofline and pack/unpack -> BENCH_full.json (the regression artifact).
+* ``--sqp``: adds DeviceSQP phase attribution to either mode.
+* ``--sweep``: width sweep + VPU + u64 family -> BENCH_sweep.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -47,6 +58,27 @@ INNER = 1024       # chained executions per sample: total >=300ms so the
 # headline number carries its measured variance (no prose ranges).
 SPREADS: dict = {}
 
+# wall-clock budget guard.  The driver runs `python bench.py` under a hard
+# timeout (round 2's run was killed at rc=124 with ZERO output); the guard
+# ensures the default run always finishes -- optional sections are skipped
+# when the remaining budget is thin, and progress goes to stderr so a
+# killed run still shows where it died.
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _left() -> float:
+    return _BUDGET_S - _elapsed()
+
+
+def note(msg: str) -> None:
+    """Progress line on stderr (stdout carries only the one JSON line)."""
+    print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def _timed_rate(label, numerator, step, x0, *consts, inner, reps=5,
                 overhead=None):
@@ -57,11 +89,15 @@ def _timed_rate(label, numerator, step, x0, *consts, inner, reps=5,
     ``low_confidence`` so a nonsense rate can't masquerade as a
     measurement (callers should raise ``inner`` until the stamp clears).
     """
+    note(f"{label}: compiling + timing (inner={inner}, reps={reps})")
+    t0 = time.time()
     st: list = []
     sec = time_chained(
         step, x0, *consts, inner=inner, reps=reps, overhead=overhead,
         stats_out=st,
     )
+    note(f"{label}: done in {time.time() - t0:.1f}s "
+         f"-> {numerator / sec:.4g}/s")
     lo, med, hi = st[0]
     SPREADS[label] = {
         "rate_min": numerator / hi,
@@ -154,7 +190,7 @@ def bench_pack_unpack(layout, n, overhead):
     )
 
 
-def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
+def bench_mpc(overhead, batch=8192, horizon=50, iters=40, reps=5):
     """Quantized MPC solves/s, single chip (BASELINE.json headline #2).
 
     Returns (word-space solves/s, fused-Pallas solves/s); the fused kernel
@@ -179,7 +215,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     u0 = solver.init_words(batch)
     rate_word = _timed_rate(
         "mpc_word_space", batch, solver.solve_words, u0, g,
-        inner=256, reps=5, overhead=overhead,
+        inner=256, reps=reps, overhead=overhead,
     )
 
     fused = FusedPGD(qqp, iters=iters, block_rows=2048, interpret=False)
@@ -188,7 +224,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     assert bool(jnp.all(w1 == w2)), "fused solver diverged from reference"
     rate_fused = _timed_rate(
         "mpc_fused", batch, fused.solve_words, u0, g,
-        inner=1024, reps=5, overhead=overhead,
+        inner=1024, reps=reps, overhead=overhead,
     )
 
     # equal-accuracy accelerated config: Nesterov momentum reaches the
@@ -203,12 +239,12 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40):
     assert bool(jnp.all(w3 == w3_ref)), "fused momentum diverged"
     rate_accel = _timed_rate(
         "mpc_fused_momentum", batch, accel.solve_words, u0, g,
-        inner=1024, reps=5, overhead=overhead,
+        inner=1024, reps=reps, overhead=overhead,
     )
     return rate_word, rate_fused, rate_accel
 
 
-def bench_device_sqp(overhead, batch=4096):
+def bench_device_sqp(overhead, batch=4096, reps=5, inner=32):
     """On-device nonlinear SQP solves/s: the full linearize/condense/
     quantize/PGD loop as one XLA program (mpc.device_sqp.DeviceSQP),
     unicycle goal-reaching, T=32, 4 SQP x 30 PGD iterations."""
@@ -232,7 +268,7 @@ def bench_device_sqp(overhead, batch=4096):
     u0 = dev.init_words(batch)
     return _timed_rate(
         "device_sqp", batch, lambda w, x: dev._solve_jit(w, x), u0, x0j,
-        inner=32, reps=5, overhead=overhead,
+        inner=inner, reps=reps, overhead=overhead,
     )
 
 
@@ -369,7 +405,7 @@ def bench_device_sqp_phases(overhead, batch=4096):
     return out
 
 
-def bench_constrained(overhead, batch=4096, horizon=50):
+def bench_constrained(overhead, batch=4096, horizon=50, reps=5):
     """State-constrained ALM solves/s: velocity-limited double integrator,
     12 outer multiplier updates x 60 error-feedback PGD inners as one
     integer XLA program (mpc.constrained.ConstrainedPGD)."""
@@ -404,7 +440,7 @@ def bench_constrained(overhead, batch=4096, horizon=50):
     fn = jax.jit(lambda w: solver.solve_words(w, g, co)[0])
     return _timed_rate(
         "mpc_constrained", batch, fn, solver.init_words(batch),
-        inner=32, reps=5, overhead=overhead,
+        inner=32, reps=reps, overhead=overhead,
     )
 
 
@@ -561,7 +597,7 @@ def bench_unpacked_comparator(overhead, n_items: int):
     )
 
 
-def bench_rollouts(overhead, batch=8192, horizon=52):
+def bench_rollouts(overhead, batch=8192, horizon=52, reps=5):
     """Quantized double-integrator rollouts/s from packed int8 controls
     (BASELINE.json config: 8192 rollouts, H=50; padded to 52 for 4-lane
     words)."""
@@ -584,7 +620,7 @@ def bench_rollouts(overhead, batch=8192, horizon=52):
     return _timed_rate(
         "rollouts_di", batch, step,
         jnp.zeros((batch, 2), jnp.int32), words,
-        inner=8192, reps=5, overhead=overhead,
+        inner=8192, reps=reps, overhead=overhead,
     )
 
 
@@ -599,15 +635,80 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _device_ready(probe_timeout_s: float, total_budget_s: float) -> bool:
+    """Bounded readiness probe for the tunneled chip.
+
+    The axon pool can wedge so that claims and compiles succeed but
+    execution results NEVER arrive (observed: a cached ``x+1`` fetch
+    blocked >5min while the terminal's own /status endpoint hung).  A
+    blocked transfer is uninterruptible, so each probe runs in a daemon
+    thread with a join timeout; on timeout we retry until
+    ``total_budget_s`` -- the chip may just be held by another tenant.
+    Returns False if the device never answered (caller emits a diagnostic
+    and exits nonzero instead of eating the driver's whole timeout).
+    """
+    import threading
+
+    deadline = time.time() + total_budget_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        ok = threading.Event()
+        err: list = []
+
+        def probe():
+            try:
+                y = jax.jit(lambda v: v + jnp.int32(1))(
+                    jnp.zeros((8,), jnp.int32)
+                )
+                float(np.asarray(y)[0])
+                ok.set()
+            except Exception as e:  # noqa: BLE001 -- diagnostic path
+                err.append(e)
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(min(probe_timeout_s, max(deadline - time.time(), 5.0)))
+        if ok.is_set():
+            note(f"device ready (probe attempt {attempt})")
+            return True
+        if err:
+            note(f"device probe raised: {err[0]!r}")
+        else:
+            note(f"device probe attempt {attempt}: no response in "
+                 f"{probe_timeout_s:.0f}s (execution wedged or chip busy)")
+    return False
+
+
 def main() -> None:
     import sys
 
     _enable_compile_cache()
     results = {}
+    if not _device_ready(
+        probe_timeout_s=60.0,
+        total_budget_s=min(450.0, 0.5 * _BUDGET_S),
+    ):
+        diag = {
+            "error": "device_unresponsive",
+            "detail": "TPU claim/compile succeed but execution results "
+                      "never arrive through the axon tunnel; see stderr "
+                      "probe log.  No measurement is possible.",
+            "elapsed_s": round(_elapsed(), 1),
+        }
+        with open("BENCH_default.json", "w") as f:
+            json.dump(diag, f, indent=2)
+        note("giving up: device unresponsive -- wrote BENCH_default.json "
+             "diagnostic, exiting 2")
+        # os._exit: the probe threads are stuck inside PJRT transfer calls;
+        # normal teardown aborts the process (std::terminate) when those
+        # threads are torn down mid-call.
+        os._exit(2)
     overhead = fetch_overhead()
     results["sync_overhead_ms"] = overhead * 1e3
 
     if "--sweep" in sys.argv:
+        note("mode: --sweep (width sweep + vpu + u64 family)")
         results["width_sweep"] = bench_width_sweep(overhead)
         results["vpu_int32_Tops_per_s"] = bench_vpu_ops(overhead) / 1e12
         try:
@@ -647,6 +748,11 @@ def main() -> None:
                           "vs_baseline": 1}))
         return
 
+    run_bench(results, overhead, full="--full" in sys.argv,
+              sqp_phases="--sqp" in sys.argv)
+
+
+def _run_headline(results, overhead):
     # headline: the reference's flagship saturating config <8,8,8,8>
     # (pint_bench.cpp:456-467, compared there against SSE2 _mm_adds_epu8).
     # The raw-add calibration brackets the packed measurement (before and
@@ -664,7 +770,12 @@ def main() -> None:
     sol_lanes = raw_wps * lay8888.num_lanes
     vs_sol = lps / sol_lanes
     results["addsat_u8x4_vs_speed_of_light"] = vs_sol
+    return vs_sol
 
+
+def _run_full_op_table(results, overhead, lay8888, lay_het):
+    """The per-op two-regime table + roofline (--full only: ~30 programs,
+    minutes warm, potentially hours of remote compiles cold)."""
     # the FULL op surface on both reference configs: the wrap/saturate
     # families of pint_bench.cpp:85-684 plus min/max, sub-saturates and
     # shifts (so the roofline section below covers every public op family).
@@ -675,7 +786,6 @@ def main() -> None:
     #  * HBM-streaming ping-pong (16Mi words, both operands varying):
     #    the memory-bound regime; every op saturates the same ~43 Gwords/s
     #    so only the four reference bench families are reported.
-    lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
     all_ops = (
         "add_wrap",
         "sub_wrap",
@@ -739,62 +849,103 @@ def main() -> None:
         bench_pack_unpack(lay8888, N_WORDS // 2, overhead) / 1e9
     )
 
-    # per-field no-SWAR comparator for the hetero config (the reference's
-    # bitfield-union baseline, pint_bench.cpp:274-369): same logical lanes,
-    # one int8 byte per field.  The packed side is measured in the SAME
-    # regime (big-N single-carry chain: fixed operand streamed, carry
-    # resident) so the ratio is like-for-like.
-    try:
+
+def run_bench(results, overhead, full=False, sqp_phases=False):
+    """Orchestrate the run under the wall-clock budget.
+
+    Default (driver) mode: the headline speed-of-light ratio plus the MPC
+    solves/s headliners, reps=3, every optional section gated on remaining
+    budget -- guaranteed to emit the JSON line well inside the driver's
+    timeout on a warm compile cache.  ``--full`` removes the budget gates,
+    uses reps=5 and adds the per-op two-regime table + roofline (the
+    regression-grade artifact, committed as BENCH_full.json).
+    """
+    lay8888 = PackedLayout(8, 8, 8, 8)
+    lay_het = PackedLayout(1, 2, 3, 4, 5, 6, 11)
+    reps = 5 if full else 3
+    note(f"mode: {'full' if full else 'default'} "
+         f"(budget {_BUDGET_S:.0f}s, reps={reps})")
+
+    vs_sol = _run_headline(results, overhead)
+    note(f"headline done: vs_speed_of_light={vs_sol:.4f}")
+
+    def sec_mpc():
+        word_rate, fused_rate, accel_rate = bench_mpc(overhead, reps=reps)
+        results["mpc_solves_per_s_b8192_h50_i40"] = word_rate
+        results["mpc_fused_solves_per_s_b8192_h50_i40"] = fused_rate
+        results["mpc_fused_momentum_solves_per_s_b8192_h50_i20"] = accel_rate
+
+    def sec_device_sqp():
+        results["mpc_device_sqp_solves_per_s_b4096_T32_i4x30"] = (
+            bench_device_sqp(overhead, reps=reps, inner=32 if full else 16)
+        )
+
+    def sec_constrained():
+        results["mpc_constrained_solves_per_s_b4096_T50_i12x60"] = (
+            bench_constrained(overhead, reps=reps)
+        )
+
+    def sec_rollouts():
+        results["rollouts_per_s_b8192_h52"] = bench_rollouts(
+            overhead, reps=reps
+        )
+
+    def sec_comparator():
+        # per-field no-SWAR comparator for the hetero config (the
+        # reference's bitfield-union baseline, pint_bench.cpp:274-369):
+        # same logical lanes, one int8 byte per field.  The packed side is
+        # measured in the SAME regime (big-N single-carry chain: fixed
+        # operand streamed, carry resident) so the ratio is like-for-like.
         unpacked_lps = bench_unpacked_comparator(overhead, N_WORDS)
-        results["addsat_u_het7_unpacked_int8_Glanes_per_s"] = unpacked_lps / 1e9
+        results["addsat_u_het7_unpacked_int8_Glanes_per_s"] = (
+            unpacked_lps / 1e9
+        )
         _, packed_big_lps = bench_packed_op(
-            lay_het, "add_unsigned_saturate", N_WORDS, overhead,
-            tag="_hbm1",
+            lay_het, "add_unsigned_saturate", N_WORDS, overhead, tag="_hbm1"
         )
         results["addsat_u_het7_hbm1_Glanes_per_s"] = packed_big_lps / 1e9
         results["addsat_u_het7_swar_speedup_vs_unpacked"] = (
             packed_big_lps / unpacked_lps
         )
-    except Exception as e:
-        results["unpacked_comparator_error"] = repr(e)
 
-    try:
-        results["rollouts_per_s_b8192_h52"] = bench_rollouts(overhead)
-    except Exception as e:
-        results["rollout_error"] = repr(e)
+    def sec_op_table():
+        _run_full_op_table(results, overhead, lay8888, lay_het)
 
-    try:
-        results["mpc_device_sqp_solves_per_s_b4096_T32_i4x30"] = (
-            bench_device_sqp(overhead)
-        )
-    except Exception as e:
-        results["device_sqp_error"] = repr(e)
+    def sec_sqp_phases():
+        results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
 
-    try:
-        results["mpc_constrained_solves_per_s_b4096_T50_i12x60"] = (
-            bench_constrained(overhead)
-        )
-    except Exception as e:
-        results["constrained_error"] = repr(e)
+    # (name, fn, min remaining seconds to even attempt it)
+    sections = [
+        ("mpc", sec_mpc, 90),
+        ("device_sqp", sec_device_sqp, 90),
+        ("constrained", sec_constrained, 45),
+        ("rollouts", sec_rollouts, 45),
+        ("comparator", sec_comparator, 60),
+    ]
+    if full:
+        sections.append(("op_table", sec_op_table, 0))
+    if sqp_phases:
+        sections.append(("sqp_phases", sec_sqp_phases, 0))
 
-    try:
-        word_rate, fused_rate, accel_rate = bench_mpc(overhead)
-        results["mpc_solves_per_s_b8192_h50_i40"] = word_rate
-        results["mpc_fused_solves_per_s_b8192_h50_i40"] = fused_rate
-        results["mpc_fused_momentum_solves_per_s_b8192_h50_i20"] = accel_rate
-    except Exception as e:  # keep the headline metric robust
-        results["mpc_error"] = repr(e)
-
-    if "--sqp" in sys.argv:
+    for name, fn, need in sections:
+        if not full and _left() < need:
+            note(f"{name}: SKIPPED ({_left():.0f}s left < {need}s needed)")
+            results[f"{name}_skipped_budget_s"] = round(_left(), 1)
+            continue
+        note(f"section {name}: start ({_left():.0f}s budget left)")
         try:
-            results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
+            fn()
         except Exception as e:
-            results["device_sqp_phases_error"] = repr(e)
+            note(f"section {name}: FAILED {e!r}")
+            results[f"{name}_error"] = repr(e)
 
     results["spread"] = SPREADS
+    results["elapsed_s"] = round(_elapsed(), 1)
     results["device"] = str(jax.devices()[0])
-    with open("BENCH_full.json", "w") as f:
+    out_path = "BENCH_full.json" if full else "BENCH_default.json"
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
+    note(f"wrote {out_path} ({_elapsed():.0f}s total)")
     print(
         json.dumps(
             {
@@ -803,7 +954,8 @@ def main() -> None:
                 "unit": "Glanes/s",
                 "vs_baseline": round(vs_sol, 4),
             }
-        )
+        ),
+        flush=True,
     )
 
 
