@@ -47,7 +47,11 @@ import jax.numpy as jnp
 
 from pint_tpu import PackedLayout
 from pint_tpu.ops import word as W
-from pint_tpu.utils.timing import fetch_overhead, time_chained
+from pint_tpu.utils.timing import (
+    fetch_overhead,
+    time_chained,
+    wait_device_ready,
+)
 
 N_WORDS = 1 << 24  # 16Mi words, 64 MiB per operand
 INNER = 1024       # chained executions per sample: total >=300ms so the
@@ -635,59 +639,15 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def _device_ready(probe_timeout_s: float, total_budget_s: float) -> bool:
-    """Bounded readiness probe for the tunneled chip.
-
-    The axon pool can wedge so that claims and compiles succeed but
-    execution results NEVER arrive (observed: a cached ``x+1`` fetch
-    blocked >5min while the terminal's own /status endpoint hung).  A
-    blocked transfer is uninterruptible, so each probe runs in a daemon
-    thread with a join timeout; on timeout we retry until
-    ``total_budget_s`` -- the chip may just be held by another tenant.
-    Returns False if the device never answered (caller emits a diagnostic
-    and exits nonzero instead of eating the driver's whole timeout).
-    """
-    import threading
-
-    deadline = time.time() + total_budget_s
-    attempt = 0
-    while time.time() < deadline:
-        attempt += 1
-        ok = threading.Event()
-        err: list = []
-
-        def probe():
-            try:
-                y = jax.jit(lambda v: v + jnp.int32(1))(
-                    jnp.zeros((8,), jnp.int32)
-                )
-                float(np.asarray(y)[0])
-                ok.set()
-            except Exception as e:  # noqa: BLE001 -- diagnostic path
-                err.append(e)
-
-        th = threading.Thread(target=probe, daemon=True)
-        th.start()
-        th.join(min(probe_timeout_s, max(deadline - time.time(), 5.0)))
-        if ok.is_set():
-            note(f"device ready (probe attempt {attempt})")
-            return True
-        if err:
-            note(f"device probe raised: {err[0]!r}")
-        else:
-            note(f"device probe attempt {attempt}: no response in "
-                 f"{probe_timeout_s:.0f}s (execution wedged or chip busy)")
-    return False
-
-
 def main() -> None:
     import sys
 
     _enable_compile_cache()
     results = {}
-    if not _device_ready(
+    if not wait_device_ready(
         probe_timeout_s=60.0,
         total_budget_s=min(450.0, 0.5 * _BUDGET_S),
+        log=note,
     ):
         diag = {
             "error": "device_unresponsive",

@@ -9,13 +9,13 @@ with zero host round-trips:
 * nominal rollout + linearization: the model's float32 jnp twins
   (``rollout_f32`` / ``linearize_f32`` -- same discrete maps, same
   quadratic trig as the f64 references),
-* condensation: all (T x T) propagator blocks in closed form --
-  log-depth `associative_scan` prefix products and ONE masked einsum
-  (S[k,j] = P_k (P_j^-1 B_j)) -- then batched f32 einsum contractions
-  on the MXU.  The sequential T-step scan recursion is kept as
-  ``propagate="scan"`` (the numerical cross-check; it was 88% of an
-  outer iteration at T=32, B=4096 -- BENCH_full.json
-  device_sqp_phases, round 1),
+* condensation: sequential T-step scan recursion building the
+  propagator stack, then batched f32 einsum contractions on the MXU
+  (``propagate="scan"``, the default).  A closed-form alternative
+  (``propagate="allpairs"``: log-depth `associative_scan` prefix
+  products + one masked einsum S[k,j] = P_k (P_j^-1 B_j)) is kept as
+  a cross-check but measures 5x slower on chip -- see the
+  ``propagate`` field docstring for the numbers,
 * Lipschitz constant: power iteration on the condensed Hessian (PSD, so
   the iterate converges to lambda_max; a 1.05 safety factor keeps the PGD
   step conservative against the truncated iteration),
@@ -109,10 +109,15 @@ class DeviceSQP:
     pgd_iters: int = 40
     g_shift: int = 12
     power_iters: int = 16
-    propagate: str = "allpairs"
-    """Condensation propagator construction: "allpairs" (log-depth prefix
-    products + one masked einsum — the fast path) or "scan" (sequential
-    T-step recursion — the numerical reference)."""
+    propagate: str = "scan"
+    """Condensation propagator construction: "scan" (sequential T-step
+    recursion — the default) or "allpairs" (log-depth prefix products +
+    one masked einsum).  Measured on chip at T=32, B=4096: scan condenses
+    in 30.6 ms/outer (26.4K full solves/s); allpairs, despite its lower
+    sequential depth, is 5x SLOWER (152.6 ms/outer, 6.4K solves/s) — its
+    tiny-contraction (K=n) einsums and (B,T,m,T,m) intermediates lower
+    poorly.  Both paths agree to f32 roundoff and stay bit-identical end
+    to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
 
     @functools.cached_property
     def _Qf(self) -> np.ndarray:
@@ -189,16 +194,17 @@ class DeviceSQP:
                            c_seq: Array, x0_f: Array):
         """Closed-form condensation — no propagator tensor, no recursion.
 
-        The sequential form is S[k] = A_k S[k-1] + e_k B_k: T dependent
-        steps of tiny (n=2..6) batched matmuls plus a (B,n,Tm)
-        dynamic_update_slice each — latency-bound, and the dominant cost
-        of the whole SQP solve (88% of an outer iteration at T=32,
-        B=4096; BENCH_full.json device_sqp_phases, round 1).  Building
-        the (B, T·n, T·m) propagator stack explicitly is no better on
-        TPU: its batched small-matrix inverses and the n-contraction
-        einsum writing 100MB of S measure 5.8x SLOWER than the scan.
+        Motivation: the sequential form S[k] = A_k S[k-1] + e_k B_k is T
+        dependent steps and dominates the SQP outer iteration (88% at
+        T=32, B=4096; BENCH_full.json device_sqp_phases, round 1).  This
+        path removes the recursion — but measured on chip it is 5x
+        SLOWER end to end than the scan (152.6 vs 30.6 ms/outer): its
+        tiny-contraction (K=n) einsums and the (B,T,m,T,m) intermediate
+        lower poorly on the MXU, losing far more than the log-depth
+        gains.  Kept as the numerical cross-check; ``propagate="scan"``
+        is the default.
 
-        So never build S.  With prefix products P_k = A_k···A_0 (log-depth
+        With prefix products P_k = A_k···A_0 (log-depth
         `associative_scan`), their inverses (from per-step Gauss-Jordan
         inverses, exact for the well-conditioned one-step discretizations
         A_k = I + O(dt)), W_j = P_j^{-1} B_j, and the suffix sums

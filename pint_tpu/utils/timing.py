@@ -24,7 +24,63 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["time_chained", "fetch_overhead"]
+__all__ = ["time_chained", "fetch_overhead", "wait_device_ready"]
+
+
+def wait_device_ready(
+    probe_timeout_s: float = 60.0,
+    total_budget_s: float = 450.0,
+    log=None,
+) -> bool:
+    """Bounded readiness probe for a tunneled/pooled accelerator.
+
+    The pooled chip can be held by another tenant, or the remote terminal
+    can wedge, so that claims and compiles succeed (``jax.devices()``
+    lists the chip) but every result fetch blocks forever.  A blocked
+    transfer is uninterruptible from Python, so each probe runs a trivial
+    jitted fetch in a daemon thread with a join timeout, retrying until
+    ``total_budget_s``.  Returns True the moment a fetch completes; False
+    if the device never answered (callers should fail fast with a
+    diagnostic rather than hang -- and exit via ``os._exit`` if probe
+    threads are still blocked, since normal interpreter teardown aborts
+    on threads stuck inside PJRT transfer calls).
+
+    ``log`` is an optional ``str -> None`` progress callback.
+    """
+    import threading
+
+    say = log or (lambda _m: None)
+    deadline = time.time() + total_budget_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        ok = threading.Event()
+        err: list = []
+
+        def probe():
+            try:
+                y = jax.jit(lambda v: v + jnp.int32(1))(
+                    jnp.zeros((8,), jnp.int32)
+                )
+                float(np.asarray(y)[0])
+                ok.set()
+            except Exception as e:  # noqa: BLE001 -- diagnostic path
+                err.append(e)
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(min(probe_timeout_s, max(deadline - time.time(), 5.0)))
+        if ok.is_set():
+            say(f"device ready (probe attempt {attempt})")
+            return True
+        if err:
+            say(f"device probe raised: {err[0]!r}")
+        else:
+            say(
+                f"device probe attempt {attempt}: no response in "
+                f"{probe_timeout_s:.0f}s (execution wedged or chip busy)"
+            )
+    return False
 
 
 def _sync_scalar(x) -> float:
