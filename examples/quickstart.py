@@ -3,6 +3,12 @@
 Run: python examples/quickstart.py  (CPU or TPU)
 """
 
+import os
+import sys
+
+# run from a checkout without installing: python examples/quickstart.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,6 +16,12 @@ The full nonlinear-MPC pipeline on int8 packed plans:
 Run: python examples/swingup.py   (CPU or TPU)
 """
 
+import os
+import sys
+
+# run from a checkout without installing: python examples/swingup.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from pint_tpu.models import Pendulum
