@@ -359,16 +359,17 @@ def bench_device_sqp_phases(overhead, batch=4096):
     )
     out["condense_hg_s_per_outer"] = batch / hg
 
-    # power-iteration Lipschitz alone, on a real condensed Hessian
-    H_real, _ = jax.jit(dev._condense_hg)(x0j, lanes0)
+    # power-iteration Lipschitz alone, on a real condensed Hessian in the
+    # solver's internal batch-last (Tm,Tm,B) layout
+    H_real, _ = jax.jit(dev._condense_ht)(x0j, lanes0)
 
     def lipschitz(H):
-        return H + dev._lipschitz_phase(H)[:, None, None] * jnp.float32(
+        return H + dev._lipschitz_phase(H)[None, None, :] * jnp.float32(
             1e-20
         )
 
     lp = _timed_rate(
-        "sqp_phase_lipschitz", H_real.shape[0], lipschitz, H_real,
+        "sqp_phase_lipschitz", H_real.shape[-1], lipschitz, H_real,
         inner=64, reps=5, overhead=overhead,
     )
     out["lipschitz_s_per_outer"] = batch / lp

@@ -156,8 +156,8 @@ class DeviceSQP:
     #
     # Split into phase methods so the bench can time each stage exactly as
     # composed (bench.py bench_device_sqp_phases; VERDICT round-1 item 4):
-    # _linearize_phase -> _condense_hg (allpairs closed form, or
-    # _propagate_scan -> _reduce_phase on the cross-check path) ->
+    # _linearize_phase -> _condense_hg (_propagate_scan -> _reduce_phase
+    # on the default path, or the allpairs closed form as cross-check) ->
     # _lipschitz_phase -> _quantize_phase, composed by _condense_dev.
 
     def _linearize_phase(self, x0_f: Array, lanes: Array):
@@ -287,47 +287,73 @@ class DeviceSQP:
         return H, g
 
     def _propagate_scan(self, A_seq: Array, B_lane: Array, c_seq: Array):
-        """The original forward `lax.scan` recursion (reference path)."""
+        """Forward recursion in a tile-friendly layout: batch LAST.
+
+        The naive layout -- carries/stacks shaped (B, n, Tm) with the
+        batch leading -- puts the tiny (n, Tm) = (3, 64) dims in the
+        trailing two positions, which the TPU pads to (8, 128) vector
+        tiles: 4.3x wasted bandwidth on every loop-carried buffer, and
+        the batched (n x n)@(n x Tm) matmuls lower as padded tiny MXU
+        ops.  Measured at T=32 B=4096: 30.4 ms per propagate.
+
+        This version keeps everything (n, ..., B): the trailing dims are
+        (Tm, B) = (64, 4096) -- exact multiples of the (8, 128) tile, so
+        zero padding -- the matmuls become n-term broadcast FMAs on the
+        VPU, and the per-step column insertion is a precomputed injection
+        slice (no dynamic_update_slice in the loop body).  Measured:
+        0.90 ms, a 34x speedup, which moves the whole-solve rate from
+        26.4K to >100K solves/s (bench_device_sqp).
+
+        Returns time-first stacks (Abar (T,n,n,B), Bbar_all (T,n,Tm,B),
+        Cbar (T,n,B)) consumed by :meth:`_reduce_phase` in the same
+        layout.
+        """
         T, m = self.horizon, self.n_ctrl
         Tm = self.n_dec
         n = A_seq.shape[-1]
-        batch = A_seq.shape[0]
 
-        # forward recursion over k (scan), batched over problems
+        At = jnp.transpose(A_seq, (1, 2, 3, 0))             # (T,n,n,B)
+        ct = jnp.transpose(c_seq, (1, 2, 0))                # (T,n,B)
+        # injection slices: Binj[k, i, k*m+l, b] = B_lane[b, k, i, l]
+        eyeT = jnp.eye(T, dtype=jnp.float32)
+        Binj = jnp.einsum("bkil,kq->kiqlb", B_lane, eyeT).reshape(
+            T, n, Tm, -1
+        )
+
         def body(carry, inp):
-            Ak_prod, Bbar, c_acc = carry
-            Ak, Bk, ck, k = inp
-            Ak_prod = Ak @ Ak_prod
-            Bbar = Ak @ Bbar
-            Bbar = jax.lax.dynamic_update_slice(
-                Bbar, Bk, (0, 0, k * m)
-            )
-            c_acc = jnp.einsum("bij,bj->bi", Ak, c_acc) + ck
-            return (Ak_prod, Bbar, c_acc), (Ak_prod, Bbar, c_acc)
+            P, S, c = carry                      # (n,n,B),(n,Tm,B),(n,B)
+            Ak, Ik, ck = inp
+            P = jnp.sum(Ak[:, :, None, :] * P[None, :, :, :], axis=1)
+            S = jnp.sum(Ak[:, :, None, :] * S[None, :, :, :], axis=1) + Ik
+            c = jnp.sum(Ak * c[None, :, :], axis=1) + ck
+            return (P, S, c), (P, S, c)
 
         # derive the scan init from the (possibly device-varying) input so
         # carry-in and carry-out agree under shard_map's varying-axes check
-        zero_b = (A_seq[:, 0, 0, 0] * 0.0).astype(jnp.float32)   # (B,)
+        zero_b = (At[0, 0, 0] * 0.0).astype(jnp.float32)     # (B,)
         init = (
-            jnp.eye(n, dtype=jnp.float32) + zero_b[:, None, None],
-            jnp.zeros((batch, n, Tm), jnp.float32) + zero_b[:, None, None],
-            jnp.zeros((batch, n), jnp.float32) + zero_b[:, None],
+            jnp.eye(n, dtype=jnp.float32)[:, :, None] + zero_b,
+            jnp.zeros((n, Tm, 1), jnp.float32) + zero_b,
+            jnp.zeros((n, 1), jnp.float32) + zero_b,
         )
-        xs = (
-            jnp.moveaxis(A_seq, 1, 0),
-            jnp.moveaxis(B_lane, 1, 0),
-            jnp.moveaxis(c_seq, 1, 0),
-            jnp.arange(T),
-        )
-        _, (Abar, Bbar_all, Cbar) = jax.lax.scan(body, init, xs)
-        # stacked time-first: (T, B, n, ...)
+        _, (Abar, Bbar_all, Cbar) = jax.lax.scan(body, init, (At, Binj, ct))
+        # stacked time-first, batch-last: (T, n, ..., B)
         return Abar, Bbar_all, Cbar
 
     def _reduce_phase(
         self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
     ):
-        """MXU einsum contractions: condensed Hessian H (B,Tm,Tm) and
-        linear term g (B,Tm)."""
+        """MXU einsum contractions: condensed Hessian Ht (Tm,Tm,B) and
+        linear term g (B,Tm).
+
+        Consumes the batch-last stacks of :meth:`_propagate_scan`
+        (Abar (T,n,n,B), Bbar_all (T,n,Tm,B), Cbar (T,n,B)) and KEEPS the
+        Hessian batch-last: (Tm,Tm,B) trailing tiles are (64, B) --
+        unpadded -- where (B,Tm,Tm) would pad the 64-lane dim to 128 and
+        double the traffic of every downstream pass (power iteration
+        reads H 16x).  The one consumer needing (B,Tm,Tm) -- the PGD's
+        int8 MXU matmul -- gets a single transposed int8 copy from
+        :meth:`_quantize_phase`."""
         T = self.horizon
         Q = jnp.asarray(self.Q, jnp.float32)
         Qf = jnp.asarray(self._Qf, jnp.float32)
@@ -342,40 +368,44 @@ class DeviceSQP:
             (T, np.asarray(self.Q).shape[0]),
         )
         x_ref = jnp.asarray(x_ref, jnp.float32)
-        Cx = Cbar - x_ref[:, None, :]                         # (T, B, n)
+        Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
 
-        BQ = jnp.einsum("kbin,ij->kbjn", Bbar_all, Q)
+        BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
         BT = Bbar_all[T - 1]
-        BQT = jnp.einsum("bin,ij->bjn", BT, Qf - Q)
-        H = jnp.einsum("kbjn,kbjm->bnm", BQ, Bbar_all)
-        H = H + jnp.einsum("bjn,bjm->bnm", BQT, BT)
-        H = H + R_kron
-        G = jnp.einsum("kbjn,kbjq->bnq", BQ, Abar)
-        G = G + jnp.einsum("bjn,bjq->bnq", BQT, Abar[T - 1])
-        g_ref = jnp.einsum("kbjn,kbj->bn", BQ, Cx)
-        g_ref = g_ref + jnp.einsum("bjn,bj->bn", BQT, Cx[T - 1])
+        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
+        Ht = jnp.einsum("kjnb,kjmb->nmb", BQ, Bbar_all)
+        Ht = Ht + jnp.einsum("jnb,jmb->nmb", BQT, BT)
+        Ht = Ht + R_kron[:, :, None]
+        G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
+        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
+        g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
+        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
         g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
-        return H, g
+        return Ht, g
 
-    def _lipschitz_phase(self, H: Array) -> Array:
-        """Power iteration for lambda_max(H) (PSD), 1.05 safety factor."""
+    def _lipschitz_phase(self, Ht: Array) -> Array:
+        """Power iteration for lambda_max(H) (PSD), 1.05 safety factor.
+
+        Operates on the batch-last Hessian Ht (Tm,Tm,B): each of the
+        ``power_iters`` matvecs streams H exactly once with zero tile
+        padding (a (B,Tm,Tm) layout pads the trailing 64-lane dim to 128
+        and doubles the traffic of the dominant per-outer loop)."""
         Tm = self.n_dec
-        batch = H.shape[0]
 
-        def pit(_, v):
-            w = jnp.einsum("bnm,bm->bn", H, v)
+        def pit(_, v):                                        # v (Tm, B)
+            w = jnp.sum(Ht * v[None, :, :], axis=1)
             return w / (
-                jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-30
+                jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True)) + 1e-30
             )
 
-        zero_b = (H[:, 0, 0] * 0.0).astype(jnp.float32)       # (B,)
+        zero_b = (Ht[0, 0] * 0.0).astype(jnp.float32)         # (B,)
         v0 = (
-            jnp.full((batch, Tm), 1.0 / np.sqrt(Tm), jnp.float32)
-            + zero_b[:, None]
+            jnp.full((Tm, 1), 1.0 / np.sqrt(Tm), jnp.float32)
+            + zero_b
         )
         v = jax.lax.fori_loop(0, self.power_iters, pit, v0)
-        hv = jnp.einsum("bnm,bm->bn", H, v)
-        return jnp.einsum("bn,bn->b", v, hv) * np.float32(1.05)
+        hv = jnp.sum(Ht * v[None, :, :], axis=1)
+        return jnp.sum(v * hv, axis=0) * np.float32(1.05)
 
     def _condense_dev(self, x0_f: Array, lanes: Array):
         """f32 linearize + condense + quantize, fully traced.
@@ -384,29 +414,44 @@ class DeviceSQP:
         int32, hs_num int32, hs_den int32) with Tp == Tm (no padding: the
         packing constraint already makes Tm a multiple of 4).
         """
-        H, g = self._condense_hg(x0_f, lanes)
-        lip = self._lipschitz_phase(H)
-        return self._quantize_phase(H, g, lip)
+        Ht, g = self._condense_ht(x0_f, lanes)
+        lip = self._lipschitz_phase(Ht)
+        return self._quantize_phase(Ht, g, lip)
 
-    def _condense_hg(self, x0_f: Array, lanes: Array):
-        """Condensed (H (B,Tm,Tm), g (B,Tm)) via the configured
-        ``propagate`` path (f32)."""
+    def _condense_ht(self, x0_f: Array, lanes: Array):
+        """Condensed (Ht (Tm,Tm,B), g (B,Tm)) via the configured
+        ``propagate`` path (f32) -- Hessian batch-last, the internal
+        layout of the lipschitz/quantize stages."""
         A_seq, B_lane, c_seq = self._linearize_phase(x0_f, lanes)
         if self.propagate == "allpairs":
-            return self._condense_allpairs(A_seq, B_lane, c_seq, x0_f)
+            H, g = self._condense_allpairs(A_seq, B_lane, c_seq, x0_f)
+            return jnp.transpose(H, (1, 2, 0)), g
         Abar, Bbar_all, Cbar = self._propagate_scan(A_seq, B_lane, c_seq)
         return self._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
 
-    def _quantize_phase(self, H: Array, g: Array, lip: Array):
+    def _condense_hg(self, x0_f: Array, lanes: Array):
+        """Condensed (H (B,Tm,Tm), g (B,Tm)) via the configured
+        ``propagate`` path (f32) -- the batch-first public layout (one
+        transpose off the internal batch-last form)."""
+        Ht, g = self._condense_ht(x0_f, lanes)
+        return jnp.transpose(Ht, (2, 0, 1)), g
+
+    def _quantize_phase(self, Ht: Array, g: Array, lip: Array):
         """int8 Hessian + int32 step rationals (same formulas as
-        mpc.condensed.quantize, u_scale=1)."""
+        mpc.condensed.quantize, u_scale=1).  Consumes the batch-last Ht
+        (Tm,Tm,B); the elementwise math is layout-invariant, and the one
+        transpose to the PGD's (B,Tm,Tm) happens on the int8 result (4x
+        smaller than transposing the f32 H)."""
         Tm = self.n_dec
         alpha = 1.0 / lip                                     # (B,)
-        aH = alpha[:, None, None] * H
-        h_scale = jnp.max(jnp.abs(aH), axis=(1, 2)) / 127.0
-        Hq = jnp.clip(
-            jnp.round(aH / h_scale[:, None, None]), -127, 127
-        ).astype(jnp.int8)
+        aH = alpha[None, None, :] * Ht
+        h_scale = jnp.max(jnp.abs(aH), axis=(0, 1)) / 127.0
+        Hq = jnp.transpose(
+            jnp.clip(
+                jnp.round(aH / h_scale[None, None, :]), -127, 127
+            ).astype(jnp.int8),
+            (2, 0, 1),
+        )
         # mirror the host path's corrupted-input guard (QuantizedQP
         # .g_lane_fixed): non-finite linear terms saturate / zero instead
         # of tracing NaN into the int32 conversion

@@ -174,7 +174,7 @@ def test_propagate_paths_agree(model_n, pair):
     if name == "pendulum":
         kw.update(model=Pendulum(), Q=np.diag([1.0, 0.05]),
                   R=np.array([[0.05]]), x_ref=np.zeros(2))
-    d_new = DeviceSQP(**kw)
+    d_new = DeviceSQP(**kw, propagate="allpairs")
     d_old = DeviceSQP(**kw, propagate="scan")
     rng = np.random.default_rng(0)
     batch = 8
