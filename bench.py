@@ -410,6 +410,34 @@ def bench_device_sqp_phases(overhead, batch=4096):
     return out
 
 
+def bench_device_constrained(overhead, batch=4096, reps=5, inner=16):
+    """Device-resident state-constrained nonlinear SQP solves/s: rollout/
+    linearize/condense/stack/quantize + integer ALM inners as ONE XLA
+    program (mpc.device_constrained.DeviceConstrainedSQP), corridor-bounded
+    unicycle, T=32, 4 SQP x (3 ALM x 30 PGD) iterations."""
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+
+    devc = DeviceConstrainedSQP(
+        DeviceSQP(horizon=32, sqp_iters=4, pgd_iters=30,
+                  x_ref=np.array([1.0, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=3,
+    )
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.2, 0.2, batch),
+             rng.uniform(-np.pi, np.pi, batch)], axis=-1,
+        ).astype(np.float32)
+    )
+    u0 = devc.init_words(batch)
+    lam0 = devc.init_lam(batch)
+    return _timed_rate(
+        "device_constrained_sqp", batch,
+        lambda st, x: devc._solve_jit(st[0], x, st[1]),
+        (u0, lam0), x0, inner=inner, reps=reps, overhead=overhead,
+    )
+
+
 def bench_constrained(overhead, batch=4096, horizon=50, reps=5):
     """State-constrained ALM solves/s: velocity-limited double integrator,
     12 outer multiplier updates x 60 error-feedback PGD inners as one
@@ -846,6 +874,11 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
             bench_constrained(overhead, reps=reps)
         )
 
+    def sec_device_constrained():
+        results["mpc_device_constrained_solves_per_s_b4096_T32_i4x3x30"] = (
+            bench_device_constrained(overhead, reps=reps)
+        )
+
     def sec_rollouts():
         results["rollouts_per_s_b8192_h52"] = bench_rollouts(
             overhead, reps=reps
@@ -880,6 +913,7 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
         ("mpc", sec_mpc, 90),
         ("device_sqp", sec_device_sqp, 90),
         ("constrained", sec_constrained, 45),
+        ("device_constrained", sec_device_constrained, 60),
         ("rollouts", sec_rollouts, 45),
         ("comparator", sec_comparator, 60),
     ]

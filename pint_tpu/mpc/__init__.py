@@ -16,6 +16,7 @@ from pint_tpu.mpc.constrained import (
     quantize_constrained,
 )
 from pint_tpu.mpc.controller import LTIController, RecedingHorizonController
+from pint_tpu.mpc.device_constrained import DeviceConstrainedSQP
 from pint_tpu.mpc.device_sqp import DeviceSQP
 from pint_tpu.mpc.fused import FusedPGD
 from pint_tpu.mpc.ltv import QuantizedSQP, SQPController
@@ -45,6 +46,7 @@ __all__ = [
     "QuantizedMPPI",
     "QuantizedNonlinearPGD",
     "QuantizedSQP",
+    "DeviceConstrainedSQP",
     "DeviceSQP",
     "SQPController",
     "ConstrainedSQP",
