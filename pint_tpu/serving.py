@@ -27,7 +27,7 @@ from pint_tpu.models.dynamics import unpack_controls
 from pint_tpu.mpc.condensed import QuantizedQP
 from pint_tpu.mpc.solver import FixedPointPGD
 
-__all__ = ["MPCService", "RTIService"]
+__all__ = ["ConstrainedRTIService", "MPCService", "RTIService"]
 
 
 @dataclasses.dataclass
@@ -182,3 +182,90 @@ class RTIService:
 
     def reset(self) -> None:
         self._warm = self._zero
+
+
+class ConstrainedRTIService:
+    """Persistent STATE-CONSTRAINED nonlinear MPC endpoint: warm-started
+    real-time iterations of the fully on-device constrained SQP
+    (:class:`pint_tpu.mpc.DeviceConstrainedSQP`) per tick.
+
+    The warm state is the packed plan AND the integer multiplier plane;
+    per tick both are shifted one step -- the plan by ``m`` lanes, the
+    multipliers by one constraint-row block (rows keep their step-k
+    meaning across the receding horizon, the same discipline as
+    :class:`pint_tpu.mpc.constrained.ConstrainedController`).  Validation
+    and self-healing match :class:`RTIService`: non-finite input rows get
+    plan and multipliers reset and a zero control back.
+    """
+
+    def __init__(self, csqp, batch: int):
+        """``csqp``: a configured DeviceConstrainedSQP; set its
+        ``dev.sqp_iters`` to the per-tick RTI count (1 for classic RTI)."""
+        self.csqp = csqp
+        self.batch = batch
+        d = csqp.dev
+        self.m = d.n_ctrl
+        self._zero = csqp.init_words(batch)
+        self._zero_lam = csqp.init_lam(batch)
+        self._warm = self._zero
+        self._warm_lam = self._zero_lam
+        self.stats = ServiceStats()
+
+        m, n_dec = self.m, d.n_dec
+        Cs = csqp._F.shape[0]
+        C = csqp.n_rows
+
+        @jax.jit
+        def tick(words, lam, x0_f):
+            words, lam = csqp._solve_jit(words, x0_f, lam)
+            lanes = unpack_controls(words)
+            u0 = lanes[:, :m]
+            shifted = jnp.concatenate(
+                [lanes[:, m:n_dec], jnp.zeros_like(lanes[:, :m])], axis=-1
+            )
+            lam_shift = jnp.concatenate(
+                [
+                    lam[:, Cs:C],
+                    jnp.zeros_like(lam[:, :Cs]),
+                    lam[:, C:],  # inert padding rows stay zero
+                ],
+                axis=-1,
+            )
+            from pint_tpu.models.dynamics import pack_controls
+
+            return pack_controls(shifted), lam_shift, u0
+
+        self._tick = tick
+
+    def solve(self, x0_phys: np.ndarray) -> np.ndarray:
+        """One tick: (batch, n) physical states -> (batch, m) physical
+        first controls of the freshly re-optimized constrained plans."""
+        x0 = np.atleast_2d(np.asarray(x0_phys, np.float64))
+        if x0.shape[0] != self.batch:
+            raise ValueError(
+                f"service compiled for batch {self.batch}, got {x0.shape[0]}"
+            )
+        t0 = time.perf_counter()
+        warm, warm_lam, u0 = self._tick(
+            self._warm, self._warm_lam, jnp.asarray(x0, jnp.float32)
+        )
+        u0_np = np.asarray(u0)
+        self.stats.last_latency_s = time.perf_counter() - t0
+        self.stats.ticks += 1
+
+        bad = ~np.isfinite(x0).all(axis=-1)
+        if bad.any():
+            self.stats.resets += int(bad.sum())
+            keep = jnp.asarray(~bad)[:, None]
+            warm = jnp.where(keep, warm, self._zero)
+            warm_lam = jnp.where(keep, warm_lam, self._zero_lam)
+            u0_np = np.where(bad[:, None], 0, u0_np)
+        self._warm = warm
+        self._warm_lam = warm_lam
+        return u0_np.astype(np.float64) * np.asarray(
+            self.csqp.dev._lane_scales
+        )
+
+    def reset(self) -> None:
+        self._warm = self._zero
+        self._warm_lam = self._zero_lam

@@ -104,3 +104,68 @@ def test_rti_service_batch_mismatch(rti_service):
     svc, _ = rti_service
     with pytest.raises(ValueError, match="batch"):
         svc.solve(np.zeros((3, 2)))
+
+
+@pytest.fixture(scope="module")
+def constrained_rti_service():
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+    from pint_tpu.serving import ConstrainedRTIService
+
+    csqp = DeviceConstrainedSQP(
+        DeviceSQP(
+            horizon=16, sqp_iters=1, pgd_iters=12,
+            x_ref=np.array([1.0, 0.0, 0.0]),
+        ),
+        F=[[0.0, 1.0, 0.0]], lo=-0.05, hi=0.05, rho=100.0, alm_outer=2,
+    )
+    return ConstrainedRTIService(csqp, batch=4)
+
+
+def test_constrained_rti_corridor_held(constrained_rti_service):
+    """Closed loop on the f32 plant: the served controls drive toward the
+    goal while the lateral corridor is (approximately) held -- warm plans
+    and warm multipliers shifting tick to tick."""
+    import jax.numpy as jnp
+
+    svc = constrained_rti_service
+    svc.reset()
+    model = svc.csqp.dev.model
+    state = np.array(
+        [[0.0, 0.0, 0.6], [0.0, 0.0, -0.6], [0.0, 0.0, 0.2],
+         [0.0, 0.0, -0.2]], np.float32,
+    )
+    ys = []
+    for _ in range(48):
+        u_phys = svc.solve(state)                    # (4, m) physical
+        traj = model.rollout_f32(
+            jnp.asarray(state), jnp.asarray(u_phys[:, None, :], jnp.float32)
+        )
+        state = np.asarray(traj[:, 1])
+        ys.append(state[:, 1].copy())
+    ys = np.abs(np.stack(ys))
+    # the corridor is held through the whole closed loop (small slack for
+    # the quantized one-RTI-per-tick budget)
+    assert ys.max() < 0.05 + 0.02, ys.max()
+    # and the loop actually makes forward progress toward x_ref = 1
+    assert state[:, 0].min() > 0.1, state
+    assert svc.stats.ticks == 48 and svc.stats.resets == 0
+
+
+def test_constrained_rti_self_heals(constrained_rti_service):
+    svc = constrained_rti_service
+    svc.reset()
+    good = np.zeros((4, 3)); good[:, 2] = 0.3
+    svc.solve(good)
+    corrupted = good.copy(); corrupted[1] = np.nan
+    u = svc.solve(corrupted)
+    assert svc.stats.resets == 1
+    assert (u[1] == 0).all()
+    assert np.isfinite(u).all()
+    u2 = svc.solve(good)
+    assert np.isfinite(u2).all()
+
+
+def test_constrained_rti_batch_mismatch(constrained_rti_service):
+    svc = constrained_rti_service
+    with pytest.raises(ValueError, match="batch"):
+        svc.solve(np.zeros((2, 3)))
