@@ -444,11 +444,15 @@ class DeviceSQP:
         smaller than transposing the f32 H)."""
         Tm = self.n_dec
         alpha = 1.0 / lip                                     # (B,)
-        aH = alpha[None, None, :] * Ht
-        h_scale = jnp.max(jnp.abs(aH), axis=(0, 1)) / 127.0
+        # alpha cancels out of Hq (round(alpha H / (alpha max|H| / 127))
+        # == round(127 H / max|H|)), so quantize straight from Ht: one
+        # abs-max reduce + one scale pass instead of materializing
+        # alpha*H (a full (Tm,Tm,B) write + re-read) first
+        h_max = jnp.max(jnp.abs(Ht), axis=(0, 1))             # (B,)
+        h_scale = alpha * h_max / 127.0
         Hq = jnp.transpose(
             jnp.clip(
-                jnp.round(aH / h_scale[None, None, :]), -127, 127
+                jnp.round(Ht * (127.0 / h_max)[None, None, :]), -127, 127
             ).astype(jnp.int8),
             (2, 0, 1),
         )
