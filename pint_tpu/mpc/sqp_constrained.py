@@ -130,19 +130,22 @@ def _alm_batched(
         ey = y - (y14 << np.int32(y_shift))
         y_hi = y14 >> np.int32(7)
         y_lo = y14 - (y_hi << np.int32(7))
-        acc_h = jax.lax.dot_general(
-            y_hi.astype(jnp.int8), Sq,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        # one stacked matmul for both split halves: they contract over the
+        # same Cp axis of the same Sq, so stacking halves the number of
+        # passes over the (B, Cp, Tp) int8 rows (the inner loop's
+        # dominant traffic); integer dot is exact, so results are
+        # bit-identical to two separate matmuls
+        y_stack = jnp.stack(
+            [y_hi.astype(jnp.int8), y_lo.astype(jnp.int8)], axis=1
+        )  # (B, 2, Cp)
+        acc_hl = jax.lax.dot_general(
+            y_stack, Sq,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
-        )  # (B, Tp)
-        acc_l = jax.lax.dot_general(
-            y_lo.astype(jnp.int8), Sq,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )
-        extra = ((acc_h * eh_num[:, None]) >> eh_den[:, None]) + (
-            (acc_l * el_num[:, None]) >> el_den[:, None]
-        )
+        )  # (B, 2, Tp)
+        extra = (
+            (acc_hl[:, 0] * eh_num[:, None]) >> eh_den[:, None]
+        ) + ((acc_hl[:, 1] * el_num[:, None]) >> el_den[:, None])
         step = -(pre + g_pre + extra) + carry
         delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
         carry = step - (delta << np.int32(g_shift))
