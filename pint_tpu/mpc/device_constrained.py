@@ -49,7 +49,11 @@ import numpy as np
 
 from pint_tpu.mpc.constrained import _C_BITS, _CX0_CAP, _LAM_CAP
 from pint_tpu.mpc.device_sqp import DeviceSQP
-from pint_tpu.mpc.sqp_constrained import _Y_SHIFT, _alm_batched
+from pint_tpu.mpc.sqp_constrained import (
+    _Y_SHIFT,
+    _alm_batched,
+    _alm_batched_cols,
+)
 from pint_tpu.models.dynamics import unpack_controls
 
 Array = jax.Array
@@ -325,6 +329,91 @@ class DeviceConstrainedSQP:
                 f"({x0j.shape[0]}, {self.padded_rows})"
             )
         return self._solve_jit(u_words, x0j, lam)
+
+    def sharded_solve_words(self, mesh):
+        """dp x tp sharded constrained solve: jitted (u_words (B, Tm/4)
+        P('dp','tp'), x0_f (B, n) P('dp', None), lam (B, Cp)
+        P('dp', None)) -> (words P('dp','tp'), lam P('dp', None)).
+
+        **dp** shards problems.  **tp** shards the ALM inner's horizon
+        columns: per inner iteration each rank contributes its column
+        block to two exact int32 psums (objective gradient + constraint
+        evaluation) while the constraint-row plane stays tp-replicated
+        (:func:`~pint_tpu.mpc.sqp_constrained._alm_batched_cols`).  Per
+        SQP outer one int32 all_gather rebuilds the lane plan and the f32
+        condensation + quantization run tp-replicated.  Bit-identical to
+        :meth:`solve_words` on every mesh shape
+        (tests/test_device_constrained.py).  Hold onto the returned
+        callable: a fresh program is built per call.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        d = self.dev
+        tp = mesh.shape["tp"]
+        if d.n_dec % (4 * tp):
+            raise ValueError(
+                f"horizon*n_ctrl = {d.n_dec} must divide into 4-lane "
+                f"words across tp={tp}"
+            )
+        block = d.n_dec // tp
+
+        def local(u_words: Array, x0_f: Array, lam0: Array):
+            r = jax.lax.axis_index("tp")
+            # the all_gathered lanes are device-varying over tp; mark the
+            # tp-replicated inputs the same way or scan carries clash
+            x0_f = jax.lax.pcast(x0_f, ("tp",), to="varying")
+            lam0 = jax.lax.pcast(lam0, ("tp",), to="varying")
+
+            def outer(k, st):
+                words, lam, prev_cu = st
+                lanes_r = unpack_controls(words)
+                lanes = jax.lax.all_gather(
+                    lanes_r, "tp", axis=1, tiled=True
+                )  # (B_loc, Tm): exact int32 plan, tp-replicated
+                ops, c_unit = self._condense_constrained_dev(x0_f, lanes)
+                scale = jnp.where(
+                    k > 0, prev_cu / c_unit, jnp.ones_like(c_unit)
+                )
+                lam = jnp.clip(
+                    jnp.round(lam.astype(jnp.float32) * scale[:, None]),
+                    -float(_LAM_CAP), float(_LAM_CAP),
+                ).astype(jnp.int32)
+                g_r = jax.lax.dynamic_slice_in_dim(
+                    ops["g_pre"], r * block, block, axis=1
+                )
+                words, lam = _alm_batched_cols(
+                    words, g_r, ops["Hq"], ops["hs_num"], ops["hs_den"],
+                    ops["Sq"], ops["cs_num"], ops["cs_den"], ops["c_off"],
+                    ops["lo_pre"], ops["hi_pre"], ops["eh_num"],
+                    ops["eh_den"], ops["el_num"], ops["el_den"], lam,
+                    outer=self.alm_outer, inners=d.pgd_iters,
+                    g_shift=d.g_shift, y_shift=_Y_SHIFT,
+                    axis_name="tp", block=block,
+                )
+                return words, lam, c_unit
+
+            cu0 = (x0_f[:, 0] * 0.0).astype(jnp.float32)
+            words, lam, _ = jax.lax.fori_loop(
+                0, d.sqp_iters, outer, (u_words, lam0, cu0)
+            )
+            # lam is value-identical on every tp rank (all its inputs are
+            # psum-reduced or replicated) but MARKED varying by the pcast
+            # above; re-replicate exactly by psumming rank 0's copy so the
+            # P('dp', None) out_spec type-checks
+            lam = jax.lax.psum(
+                jnp.where(r == 0, lam, jnp.zeros_like(lam)), "tp"
+            )
+            return words, lam
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("dp", "tp"), P("dp", None), P("dp", None)),
+            out_specs=(P("dp", "tp"), P("dp", None)),
+        )
+        return jax.jit(
+            lambda u, x0, lam: fn(u, jnp.asarray(x0, jnp.float32), lam)
+        )
 
     # -- diagnostics (host-side, match ConstrainedSQP) ---------------------------
 

@@ -169,3 +169,53 @@ def test_padded_rows_are_inert(devc):
     w, lam = devc.solve_words(devc.init_words(2), X0)
     lam = np.asarray(lam)
     assert (lam[:, devc.n_rows:] == 0).all()
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4), (1, 8)])
+def test_dp_tp_sharded_bit_identical(devc, dp, tp):
+    """sharded_solve_words on a dp x tp mesh reproduces the single-device
+    constrained solve exactly: objective-gradient and constraint psums are
+    exact int32, the per-outer lane all_gather is exact, and the
+    tp-replicated condensation/multiplier plane computes identical values
+    on every rank."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    batch = 8 * dp
+    x0 = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(-0.2, 0.2, batch),
+            rng.uniform(-np.pi, np.pi, batch),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    w_single, l_single = devc.solve_words(devc.init_words(batch), x0)
+    mesh = make_mesh(dp=dp, tp=tp)
+    row = NamedSharding(mesh, P("dp", None))
+    xj = jax.device_put(jnp.asarray(x0), row)
+    u0 = jax.device_put(
+        devc.init_words(batch), NamedSharding(mesh, P("dp", "tp"))
+    )
+    l0 = jax.device_put(devc.init_lam(batch), row)
+    w_sh, l_sh = devc.sharded_solve_words(mesh)(u0, xj, l0)
+    np.testing.assert_array_equal(np.asarray(w_single), np.asarray(w_sh))
+    np.testing.assert_array_equal(np.asarray(l_single), np.asarray(l_sh))
+
+
+def test_sharded_rejects_bad_tp(devc):
+    from pint_tpu.parallel import make_mesh
+
+    # horizon 32 * m 2 = 64 decision lanes; 4*tp=32 does not divide... it
+    # does -- use a horizon that breaks: build a small solver with T=18
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+
+    bad = DeviceConstrainedSQP(
+        DeviceSQP(horizon=18, sqp_iters=1, pgd_iters=2),
+        F=[[0.0, 1.0, 0.0]],
+    )
+    with pytest.raises(ValueError, match="divide into 4-lane"):
+        bad.sharded_solve_words(make_mesh(dp=1, tp=8))
