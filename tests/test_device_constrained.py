@@ -219,3 +219,36 @@ def test_sharded_rejects_bad_tp(devc):
     )
     with pytest.raises(ValueError, match="divide into 4-lane"):
         bad.sharded_solve_words(make_mesh(dp=1, tp=8))
+
+
+def test_pendulum_omega_cap():
+    """Second model family (pendulum, n=2, single control): a hard
+    |omega| <= 0.4 cap on near-upright regulation.  The unconstrained
+    plan swings to |omega| ~ 0.65; the constrained one respects the cap
+    on the true rollout (small quantized-ALM slack) with active
+    multipliers, while a problem naturally inside the cap stays
+    untouched."""
+    from pint_tpu.models import Pendulum
+
+    dev = DeviceSQP(
+        model=Pendulum(), horizon=32, sqp_iters=4, pgd_iters=20,
+        Q=np.diag([1.0, 0.05]), R=np.array([[0.05]]), x_ref=np.zeros(2),
+    )
+    x0 = np.array([[0.6, 0.0], [-0.5, 0.0]], np.float32)
+    w_u = dev.solve_words(dev.init_words(2), x0)
+    lanes_u = _lanes(dev, w_u)
+    u_phys = jnp.asarray(
+        lanes_u.reshape(2, 32, 1) * dev._lane_scales, jnp.float32
+    )
+    traj = np.asarray(dev.model.rollout_f32(jnp.asarray(x0), u_phys))
+    swing = np.abs(traj[:, 1:, 1]).max(axis=1)
+    assert swing[0] > 0.6          # the cap genuinely binds for problem 0
+    assert swing[1] < 0.4          # ... and not for problem 1
+
+    csqp = DeviceConstrainedSQP(
+        dev, F=[[0.0, 1.0]], lo=-0.4, hi=0.4, rho=50.0, alm_outer=3
+    )
+    w_c, lam = csqp.solve_words(csqp.init_words(2), x0)
+    viol = csqp.violation(x0, _lanes(csqp, w_c))
+    assert viol.max() < 0.01, viol
+    assert int(np.abs(np.asarray(lam)[0]).max()) > 0
