@@ -47,6 +47,34 @@ V5E = {
 _DTYPE_BYTES = {"s32": 4, "u32": 4, "f32": 4, "s8": 1, "u8": 1, "pred": 1}
 
 
+def collective_sites(compiled_text: str, ops=("all-reduce(", "all-gather(")):
+    """Yield (op, computation, dtype, shape, bytes, replica_groups) for
+    every matching collective in an HLO text dump."""
+    cur = "?"
+    for line in compiled_text.splitlines():
+        m = re.match(r"^(%?[\w\.\-]+) .*\{", line)
+        if m and not line.startswith(" "):
+            cur = m.group(1)
+        hit = next((op for op in ops if op in line), None)
+        if hit and "=" in line:
+            sm = re.search(r"=\s*([a-z0-9]+)\[([0-9,]*)\]", line)
+            gm = re.search(r"replica_groups=\{(\{[^=]*?\})\}", line)
+            if sm is None:
+                continue
+            dtype, dims = sm.group(1), sm.group(2)
+            shape = tuple(int(d) for d in dims.split(",")) if dims else ()
+            nbytes = _DTYPE_BYTES.get(dtype, 4) * int(np.prod(shape or (1,)))
+            yield {
+                "op": hit.rstrip("("),
+                "computation": cur,
+                "dtype": dtype,
+                "shape": list(shape),
+                "payload_bytes": nbytes,
+                "replica_groups": gm.group(1) if gm else "?",
+                "in_loop": "region" in cur or "body" in cur,
+            }
+
+
 def allreduce_sites(compiled_text: str):
     """Yield (computation, dtype, shape, bytes, replica_groups) for every
     all-reduce in an HLO text dump."""
@@ -101,6 +129,53 @@ def analyze_mesh(dp: int, tp: int, batch_per_dp: int, iters: int):
         "once_per_solve_bytes": per_solve_extra,
         "total_collective_bytes_per_solve": per_iter * iters
         + per_solve_extra,
+    }
+
+
+def analyze_device_constrained(dp: int, tp: int, batch_per_dp: int = 8):
+    """Collective inventory of the fully on-device CONSTRAINED SQP's
+    dp x tp program (DeviceConstrainedSQP.sharded_solve_words): per ALM
+    inner two int32 psums (objective gradient (B_loc, Tp) + constraint
+    evaluation (B_loc, Cp)) over tp only, one int32 lane all_gather per
+    SQP outer, and a once-per-solve multiplier re-replication -- the dp
+    axis stays collective-free in the loop, the same layout argument
+    SCALING.md makes for ShardedPGD."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    dcs = DeviceConstrainedSQP(
+        DeviceSQP(horizon=16, sqp_iters=2, pgd_iters=6,
+                  x_ref=np.array([0.5, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.1, hi=0.1, rho=50.0, alm_outer=2,
+    )
+    B = batch_per_dp * dp
+    row = NamedSharding(mesh, P("dp", None))
+    u0 = jax.device_put(
+        dcs.init_words(B), NamedSharding(mesh, P("dp", "tp"))
+    )
+    x0 = jax.device_put(
+        np.zeros((B, 3), np.float32) + np.float32(0.1), row
+    )
+    lam0 = jax.device_put(dcs.init_lam(B), row)
+    fn = dcs.sharded_solve_words(mesh)
+    txt = fn.lower(u0, x0, lam0).compile().as_text()
+    sites = list(collective_sites(txt))
+
+    def moved(s):
+        first_group = s["replica_groups"].split("}")[0]
+        group_size = first_group.count(",") + 1
+        return 0 if group_size <= 1 else s["payload_bytes"]
+
+    per_inner = sum(moved(s) for s in sites if s["in_loop"])
+    once = sum(moved(s) for s in sites if not s["in_loop"])
+    return {
+        "mesh": {"dp": dp, "tp": tp},
+        "batch_global": B,
+        "collective_sites": sites,
+        "in_loop_bytes_per_iteration": per_inner,
+        "once_per_solve_bytes": once,
     }
 
 
@@ -191,6 +266,11 @@ def main():
         },
         "projection_tp_over_ici": tp_rows,
         "tp_breakeven_padded_horizon_per_rank": tp_breakeven_Tp,
+        # the round-3 flagship: the fully on-device constrained SQP's
+        # dp x tp program, same dp-collective-free layout argument
+        "device_constrained_hlo": [
+            analyze_device_constrained(dp, tp) for dp, tp in ((2, 4), (8, 1))
+        ],
     }
     with open("SCALING_HLO.json", "w") as f:
         json.dump(doc, f, indent=1)
