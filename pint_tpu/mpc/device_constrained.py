@@ -93,8 +93,8 @@ class DeviceConstrainedSQP:
     F: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([[0.0, 1.0, 0.0]])
     )
-    lo: object = -1.0
-    hi: object = 1.0
+    lo: "float | np.ndarray" = -1.0
+    hi: "float | np.ndarray" = 1.0
     rho: float = 50.0
     alm_outer: int = 3
     row_pad: int = 64
