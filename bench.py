@@ -25,7 +25,7 @@ Modes (the driver's plain ``python bench.py`` must finish inside its hard
 timeout even with a cold compile cache, so the heavy suites are opt-in):
 
 * default: headline speed-of-light ratio + MPC solves/s headliners, reps=3,
-  wall-clock budget ``BENCH_BUDGET_S`` (default 1200s) with per-section
+  wall-clock budget ``BENCH_BUDGET_S`` (default 2100s) with per-section
   skip gates -> BENCH_default.json.
 * ``--full``: no budget gates, reps=5, plus the per-op two-regime table,
   roofline and pack/unpack -> BENCH_full.json (the regression artifact).
@@ -68,7 +68,7 @@ SPREADS: dict = {}
 # when the remaining budget is thin, and progress goes to stderr so a
 # killed run still shows where it died.
 _T0 = time.time()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 
 
 def _elapsed() -> float:
@@ -674,11 +674,12 @@ def main() -> None:
     _enable_compile_cache()
     results = {}
     # the pooled chip is regularly held by other tenants for 10-20 min
-    # stretches (observed); give the probe most of the budget -- the
-    # measured sections need only ~3 min once the chip answers
+    # stretches (observed: one outlasted a 600s probe window); give the
+    # probe most of the budget -- the measured sections need only ~3 min
+    # once the chip answers, and the driver's timeout is far above this
     if not wait_device_ready(
         probe_timeout_s=60.0,
-        total_budget_s=min(600.0, 0.7 * _BUDGET_S),
+        total_budget_s=min(1500.0, 0.8 * _BUDGET_S),
         log=note,
     ):
         diag = {
