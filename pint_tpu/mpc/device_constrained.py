@@ -415,6 +415,20 @@ class DeviceConstrainedSQP:
             lambda u, x0, lam: fn(u, jnp.asarray(x0, jnp.float32), lam)
         )
 
+    def solve(self, x0_f: np.ndarray):
+        """Cold-start convenience (API symmetry with DeviceSQP.solve):
+        returns (words, lam, physical plans (B, T, m))."""
+        x0_f = np.atleast_2d(np.asarray(x0_f, np.float32))
+        d = self.dev
+        words, lam = self.solve_words(
+            self.init_words(x0_f.shape[0]), x0_f
+        )
+        lanes = np.asarray(unpack_controls(words))[:, : d.n_dec]
+        plans = (
+            lanes.reshape(-1, d.horizon, d.n_ctrl) * d._lane_scales
+        )
+        return words, lam, plans
+
     # -- diagnostics (host-side, match ConstrainedSQP) ---------------------------
 
     def violation(self, x0_f: np.ndarray, lanes: np.ndarray) -> np.ndarray:

@@ -252,3 +252,14 @@ def test_pendulum_omega_cap():
     viol = csqp.violation(x0, _lanes(csqp, w_c))
     assert viol.max() < 0.01, viol
     assert int(np.abs(np.asarray(lam)[0]).max()) > 0
+
+
+def test_solve_convenience(devc):
+    """Cold-start solve(): plans match solve_words lanes in physical
+    units and stay inside the lane box."""
+    w, lam, plans = devc.solve(X0)
+    w2, lam2 = devc.solve_words(devc.init_words(2), X0)
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+    d = devc.dev
+    assert plans.shape == (2, d.horizon, d.n_ctrl)
+    assert (np.abs(plans) <= 127 * d._lane_scales + 1e-12).all()
