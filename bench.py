@@ -222,7 +222,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40, reps=5):
         inner=256, reps=reps, overhead=overhead,
     )
 
-    fused = FusedPGD(qqp, iters=iters, block_rows=2048, interpret=False)
+    fused = FusedPGD(qqp, iters=iters, block_rows=1024, interpret=False)
     w1 = jax.jit(solver.solve_words)(u0, g)
     w2 = fused.solve_words(u0, g)
     assert bool(jnp.all(w1 == w2)), "fused solver diverged from reference"
@@ -234,7 +234,7 @@ def bench_mpc(overhead, batch=8192, horizon=50, iters=40, reps=5):
     # equal-accuracy accelerated config: Nesterov momentum reaches the
     # 40-iter PGD cost in ~20 iterations (tests/test_accelerated.py)
     accel = FusedPGD(
-        qqp, iters=20, momentum=True, block_rows=2048, interpret=False
+        qqp, iters=20, momentum=True, block_rows=1024, interpret=False
     )
     from pint_tpu.mpc.accelerated import AcceleratedPGD
 

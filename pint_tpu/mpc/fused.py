@@ -62,7 +62,9 @@ class FusedPGD:
 
     qqp: QuantizedQP
     iters: int = 40
-    block_rows: int = 2048   # best in the on-chip sweep (169 us/solve-batch)
+    block_rows: int = 1024   # best in the round-3 on-chip sweep: 46.4M
+    # solves/s vs 44.2-45.0M at 512/2048/4096/8192 (batch 8192, 40 iters,
+    # bit-identical at every size)
     mxu_pack: int = 1
     momentum: bool = False
     """Nesterov-style extrapolation (see mpc/accelerated.py): ~3x fewer
