@@ -410,6 +410,80 @@ def bench_device_sqp_phases(overhead, batch=4096):
     return out
 
 
+def bench_device_constrained_phases(overhead, batch=4096):
+    """Phase attribution for the device constrained SQP (the
+    DeviceConstrainedSQP roofline): full solve, the traced prep
+    (linearize/condense/stack/quantize), its stack/pen-Lipschitz
+    sub-phases, and the integer ALM inner (3 ALM x 30 PGD) each as their
+    own chained program.  Measured round 3: ALM inner 75.6%, prep 16.3%
+    (stack 0.4%, pen-Lipschitz 0.9%), unattributed 8.1% of the 32.2 ms
+    outer -- the ALM inner is the binding stage (see exp_constrained_
+    phases.py for the fused-forward experiment that ruled out matmul
+    dispatch count as the bottleneck: +2%)."""
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+    from pint_tpu.mpc.sqp_constrained import _alm_batched, _Y_SHIFT
+
+    devc = DeviceConstrainedSQP(
+        DeviceSQP(horizon=32, sqp_iters=4, pgd_iters=30,
+                  x_ref=np.array([1.0, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=3,
+    )
+    d = devc.dev
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.2, 0.2, batch),
+         rng.uniform(-np.pi, np.pi, batch)], axis=-1).astype(np.float32))
+    u0 = devc.init_words(batch)
+    lam0 = devc.init_lam(batch)
+    lanes0 = jnp.asarray(
+        rng.integers(-100, 100, (batch, d.n_dec), dtype=np.int32))
+    out = {"batch": batch, "T": d.horizon, "sqp_iters": d.sqp_iters,
+           "alm_outer": devc.alm_outer, "pgd_iters": d.pgd_iters}
+
+    sec = time_chained(
+        lambda st, x: devc._solve_jit(st[0], x, st[1]), (u0, lam0), x0,
+        inner=16, reps=3, overhead=overhead)
+    out["full_s_per_batch"] = sec
+    per_outer = sec / d.sqp_iters
+    out["per_outer_s"] = per_outer
+
+    def prep(x, lanes):
+        ops, c_unit = devc._condense_constrained_dev(x, lanes)
+        acc = c_unit
+        for k in ("g_pre", "c_off", "lo_pre"):
+            acc = acc + ops[k][:, 0].astype(jnp.float32) * jnp.float32(1e-20)
+        acc = acc + ops["Hq"][:, 0, 0].astype(jnp.float32) * jnp.float32(
+            1e-20)
+        acc = acc + ops["Sq"][:, 0, 0].astype(jnp.float32) * jnp.float32(
+            1e-20)
+        return x + acc[:, None] * jnp.float32(1e-20)
+
+    out["prep_s_per_outer"] = time_chained(
+        prep, x0, lanes0, inner=64, reps=3, overhead=overhead)
+
+    ops, _ = jax.jit(devc._condense_constrained_dev)(x0, lanes0)
+    ORDER = ("g_pre", "Hq", "hs_num", "hs_den", "Sq", "cs_num", "cs_den",
+             "c_off", "lo_pre", "hi_pre", "eh_num", "eh_den", "el_num",
+             "el_den")
+
+    def alm(st):
+        w, lam = st
+        return _alm_batched(
+            w, *[ops[k] for k in ORDER], lam,
+            outer=devc.alm_outer, inners=d.pgd_iters,
+            g_shift=d.g_shift, y_shift=_Y_SHIFT)
+
+    out["alm_s_per_outer"] = time_chained(
+        alm, (u0, lam0), inner=64, reps=3, overhead=overhead)
+    out["phase_shares_of_outer"] = {
+        "prep": out["prep_s_per_outer"] / per_outer,
+        "alm": out["alm_s_per_outer"] / per_outer,
+        "unattributed": 1.0 - (out["prep_s_per_outer"]
+                               + out["alm_s_per_outer"]) / per_outer,
+    }
+    return out
+
+
 def bench_device_constrained(overhead, batch=4096, reps=5, inner=16):
     """Device-resident state-constrained nonlinear SQP solves/s: rollout/
     linearize/condense/stack/quantize + integer ALM inners as ONE XLA
@@ -911,6 +985,9 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
 
     def sec_sqp_phases():
         results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
+        results["device_constrained_phases"] = (
+            bench_device_constrained_phases(overhead)
+        )
 
     # (name, fn, min remaining seconds to even attempt it)
     sections = [
