@@ -289,6 +289,8 @@ def bench_device_sqp_phases(overhead, batch=4096):
         horizon=32, sqp_iters=4, pgd_iters=30,
         Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
         qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+        fused=False,  # phases attribute the XLA path; the fused-kernel
+        # numbers live in BASELINE.md / exp_fused_pgd_tpu.py
     )
     rng = np.random.default_rng(0)
     x0 = np.stack(
@@ -427,6 +429,7 @@ def bench_device_constrained_phases(overhead, batch=4096):
         DeviceSQP(horizon=32, sqp_iters=4, pgd_iters=30,
                   x_ref=np.array([1.0, 0.0, 0.0])),
         F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=3,
+        fused=False,  # phases attribute the XLA path (see BASELINE.md)
     )
     d = devc.dev
     rng = np.random.default_rng(0)

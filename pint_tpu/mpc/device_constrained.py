@@ -98,6 +98,24 @@ class DeviceConstrainedSQP:
     rho: float = 50.0
     alm_outer: int = 3
     row_pad: int = 64
+    fused: Optional[bool] = None
+    """Run the ALM inner as the VMEM-resident Pallas kernel
+    (:func:`pint_tpu.mpc.fused_alm.alm_fused_words`, bit-identical to the
+    XLA ``_alm_batched`` path -- tests/test_fused_alm.py).  The inner is
+    75.6% of an outer and HBM-streaming-bound in the XLA form
+    (BASELINE.md phase attribution); the fused kernel loads each batch
+    block's per-problem operands once and iterates in VMEM.  ``None``
+    (default) auto-selects: kernel on TPU backends, XLA path elsewhere
+    (the interpret-mode kernel is only for tests).  The ALM inner is
+    bit-identical to ``_alm_batched`` given identical operands (tests +
+    on-chip check, exp_fused_alm_tpu.py), and each path is individually
+    bit-deterministic; across full solves the surrounding f32
+    condensation may compile differently around the custom call, which
+    can land quantization ties on adjacent roundings (measured identical
+    here at the headline config, but see DeviceSQP.fused for a config
+    where it is not).  ``sharded_solve_words`` always uses the XLA path
+    (the per-inner psums cannot live inside one kernel)."""
+    fused_block: int = 128
 
     @functools.cached_property
     def _F(self) -> np.ndarray:
@@ -276,7 +294,20 @@ class DeviceConstrainedSQP:
                     jnp.round(lam.astype(jnp.float32) * scale[:, None]),
                     -float(_LAM_CAP), float(_LAM_CAP),
                 ).astype(jnp.int32)
-                words, lam = _alm_batched(
+                use_fused = (
+                    self.fused
+                    if self.fused is not None
+                    else jax.default_backend() in ("tpu", "axon")
+                )
+                if use_fused:
+                    from pint_tpu.mpc.fused_alm import alm_fused_words
+
+                    alm = functools.partial(
+                        alm_fused_words, block=self.fused_block
+                    )
+                else:
+                    alm = _alm_batched
+                words, lam = alm(
                     words,
                     ops["g_pre"], ops["Hq"], ops["hs_num"], ops["hs_den"],
                     ops["Sq"], ops["cs_num"], ops["cs_den"], ops["c_off"],

@@ -118,6 +118,22 @@ class DeviceSQP:
     tiny-contraction (K=n) einsums and (B,T,m,T,m) intermediates lower
     poorly.  Both paths agree to f32 roundoff and stay bit-identical end
     to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
+    fused: "bool | None" = None
+    """Run the PGD inner as the VMEM-resident Pallas kernel
+    (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
+    auto-selects: kernel on TPU backends, XLA elsewhere.  The inner is
+    bit-identical to ``_pgd_batched_h`` given identical operands
+    (tests/test_fused_alm.py; verified natively on chip), and each
+    execution path is individually bit-deterministic.  Across FULL
+    solves the two paths can disagree on a small fraction of problems:
+    the f32 condensation is compiled differently around the custom call
+    (fusion/reduction order), so quantization ties land on adjacent
+    roundings -- measured 80/4096 problems, 0.43% of lanes after 4
+    re-linearizations at the headline config (exp_fused_pgd_diff.py);
+    both stay within the solver's quantization tolerance to the float64
+    oracle.  ``sharded_solve_words`` always uses the XLA path (its
+    per-iteration psum cannot live inside one kernel)."""
+    fused_block: int = 128
 
     @functools.cached_property
     def _Qf(self) -> np.ndarray:
@@ -481,10 +497,24 @@ class DeviceSQP:
     @functools.cached_property
     def _solve_jit(self):
         def solve(u_words: Array, x0_f: Array) -> Array:
+            use_fused = (
+                self.fused
+                if self.fused is not None
+                else jax.default_backend() in ("tpu", "axon")
+            )
+            if use_fused:
+                from pint_tpu.mpc.fused_alm import pgd_fused_words
+
+                pgd = functools.partial(
+                    pgd_fused_words, block=self.fused_block
+                )
+            else:
+                pgd = _pgd_batched_h
+
             def outer(_, words):
                 lanes = unpack_controls(words)[:, : self.n_dec]
                 Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
-                return _pgd_batched_h(
+                return pgd(
                     words, g_pre, Hq, hs_num, hs_den,
                     iters=self.pgd_iters, g_shift=self.g_shift,
                 )

@@ -1,0 +1,282 @@
+"""Fused Pallas ALM inner: the whole constrained integer loop in VMEM.
+
+Phase attribution (BASELINE.md, bench.py --sqp) shows the integer ALM
+inner is 75.6% of a DeviceConstrainedSQP outer, and that it is bound by
+re-streaming the per-problem int8 operands from HBM every iteration
+(Hq 16.8 MB + Sq twice ~= 50 MB x 90 iterations per outer at the
+headline config) -- NOT by matmul dispatch count (the row-concatenated
+[Hq; Sq] forward fusion measured +2%, exp_constrained_phases.py).
+
+This kernel removes that traffic: grid over batch blocks, each block's
+per-problem operands (Hq, two transposed Sq copies, planes, rationals)
+are loaded into VMEM ONCE and all ``alm_outer x inners`` iterations run
+resident.  Layout is batch-last (docs/DESIGN.md section 8: the two large
+dims -- contraction index and batch -- stay trailing, so (8,128)/(32,128)
+tiles are filled by real data), and the per-problem matvecs are unrolled
+broadcast-FMA loops over the small static horizon/row dims; Mosaic has
+no batched dot_general and tiny per-problem MXU matmuls lose 5-34x
+(DESIGN section 8, ROADMAP allpairs note).
+
+Exactness: integer adds are associative and int32 wrap/shift semantics
+match XLA's, so every accumulator equals :func:`pint_tpu.mpc.
+sqp_constrained._alm_batched`'s int8-dot accumulator bit for bit; the
+packed-word saturating update collapses to a lane-space clip exactly as
+in :class:`pint_tpu.mpc.fused.FusedPGD` (max_signed(add_signed_saturate
+(u, d), -127) == clip(u + d, -127, 127) for in-range lanes).  Words
+pack/unpack once per call on the XLA side (Mosaic miscompiles the
+16-lane interleave shuffles -- see FusedPGD.packed_io).  Bit-identity to
+``_alm_batched`` is asserted in tests/test_fused_alm.py and on device.
+
+Packed-word machinery exercised per call: pack/unpack (pint.hpp:390-407,
+799-822); the in-kernel update is the exact lane-space image of
+add_signed_saturate (pint.hpp:857-866) + max_signed (pint.hpp:987-1004).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pint_tpu.models.dynamics import pack_controls, unpack_controls
+from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
+
+Array = jax.Array
+
+__all__ = ["alm_fused_words", "pgd_fused_words"]
+
+
+def _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift):
+    half = np.int32(1 << (g_shift - 1))
+    y_half = np.int32((1 << y_shift) >> 1) if y_shift else np.int32(0)
+    y_cap = np.int32((1 << _Y_BITS) - 1)
+    lam_cap = np.int32(_LAM_CAP)
+
+    def kernel(lanes_ref, g_ref, hqt_ref, sqj_ref, sqc_ref, coff_ref,
+               lo_ref, hi_ref, lam_ref, sc_ref, out_lanes, out_lam):
+        g = g_ref[:]                                   # (Tp, Bb) i32
+        coff = coff_ref[:]                             # (Cp, Bb) i32
+        lo, hi = lo_ref[:], hi_ref[:]
+        hs_num, hs_den = sc_ref[0:1], sc_ref[1:2]      # (1, Bb) i32
+        cs_num, cs_den = sc_ref[2:3], sc_ref[3:4]
+        eh_num, eh_den = sc_ref[4:5], sc_ref[5:6]
+        el_num, el_den = sc_ref[6:7], sc_ref[7:8]
+
+        def c_pre_of(lanes):
+            # c_acc[c,b] = sum_j Sq[b,c,j] lanes[j,b] via sqj (j,c,b)
+            acc = jnp.zeros_like(coff)
+            for j in range(Tp):
+                acc = acc + sqj_ref[j].astype(jnp.int32) * lanes[j:j + 1]
+            return (acc * cs_num) >> cs_den
+
+        def inner(_, st):
+            lanes, carry, ey, lam = st
+            acc = jnp.zeros_like(g)
+            for k in range(Tp):
+                # pre_acc[j,b] += HqT[k,j,b] * lanes[k,b]
+                acc = acc + hqt_ref[k].astype(jnp.int32) * lanes[k:k + 1]
+            pre = (acc * hs_num) >> hs_den
+            t = c_pre_of(lanes) + coff + lam
+            y = t - jnp.clip(t, lo, hi) + ey
+            y14 = jnp.clip((y + y_half) >> np.int32(y_shift), -y_cap, y_cap)
+            ey = y - (y14 << np.int32(y_shift))
+            y_hi = y14 >> np.int32(7)
+            y_lo = y14 - (y_hi << np.int32(7))
+            eh = jnp.zeros_like(g)
+            el = jnp.zeros_like(g)
+            for c in range(Cp):
+                row = sqc_ref[c].astype(jnp.int32)     # (Tp, Bb)
+                eh = eh + row * y_hi[c:c + 1]
+                el = el + row * y_lo[c:c + 1]
+            extra = ((eh * eh_num) >> eh_den) + ((el * el_num) >> el_den)
+            step = -(pre + g + extra) + carry
+            delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+            carry = step - (delta << np.int32(g_shift))
+            lanes = jnp.clip(lanes + delta, -127, 127)
+            return lanes, carry, ey, lam
+
+        def outer_body(_, st):
+            lanes, carry, ey, lam = st
+            lanes, carry, ey, lam = jax.lax.fori_loop(
+                0, inners, inner, (lanes, carry, ey, lam)
+            )
+            t = c_pre_of(lanes) + coff + lam
+            lam = jnp.clip(t - jnp.clip(t, lo, hi), -lam_cap, lam_cap)
+            return lanes, carry, ey, lam
+
+        lanes0 = lanes_ref[:]
+        st = (lanes0, jnp.zeros_like(g), jnp.zeros_like(coff), lam_ref[:])
+        lanes, _, _, lam = jax.lax.fori_loop(0, outer, outer_body, st)
+        out_lanes[:] = lanes
+        out_lam[:] = lam
+
+    return kernel
+
+
+def _pgd_kernel_factory(Tp, iters, g_shift):
+    half = np.int32(1 << (g_shift - 1))
+
+    def kernel(lanes_ref, g_ref, hqt_ref, sc_ref, out_lanes):
+        g = g_ref[:]                                   # (Tp, Bb) i32
+        hs_num, hs_den = sc_ref[0:1], sc_ref[1:2]      # (1, Bb) i32
+
+        def body(_, st):
+            lanes, carry = st
+            acc = jnp.zeros_like(g)
+            for k in range(Tp):
+                acc = acc + hqt_ref[k].astype(jnp.int32) * lanes[k:k + 1]
+            pre = (acc * hs_num) >> hs_den
+            step = -(pre + g) + carry
+            delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+            carry = step - (delta << np.int32(g_shift))
+            lanes = jnp.clip(lanes + delta, -127, 127)
+            return lanes, carry
+
+        lanes, _ = jax.lax.fori_loop(
+            0, iters, body, (lanes_ref[:], jnp.zeros_like(g))
+        )
+        out_lanes[:] = lanes
+
+    return kernel
+
+
+def pgd_fused_words(
+    u_words: Array,   # (B, Tp/4) uint32
+    g_pre: Array,     # (B, Tp) int32
+    Hq: Array,        # (B, Tp, Tp) int8 per-problem Hessian
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,
+    *,
+    iters: int,
+    g_shift: int,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Drop-in fused replacement for :func:`pint_tpu.mpc.ltv.
+    _pgd_batched_h` (same operands and returns, bit-identical words): the
+    box-only subset of :func:`alm_fused_words` for DeviceSQP's PGD inner,
+    which re-streams the per-problem int8 Hessian from HBM every
+    iteration in the XLA form (BASELINE.md phase attribution: within 2.4x
+    of its streaming floor, bound by the whole-iteration chain)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, Tp = g_pre.shape
+    rows = -(-B // block) * block
+    pad = rows - B
+
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+
+    def bl(x):
+        xt = jnp.moveaxis(x, 0, -1)
+        if pad:
+            xt = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(0, pad)])
+        return xt
+
+    sc = jnp.stack([hs_num, hs_den], 0)                # (2, B)
+    sc_t = jnp.pad(sc, ((0, 0), (0, pad))) if pad else sc
+    hqt = bl(jnp.transpose(Hq, (0, 2, 1)))             # (k, j, B)
+    args = (bl(lanes), bl(g_pre), hqt, sc_t)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (block,),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = _pgd_kernel_factory(Tp, iters, g_shift)
+    with jax.enable_x64(False):
+        out_lanes = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((Tp, rows), jnp.int32),
+            grid=(rows // block,),
+            in_specs=[spec(Tp), spec(Tp), spec(Tp, Tp), spec(2)],
+            out_specs=spec(Tp),
+            interpret=interpret,
+        )(*args)
+    return pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
+
+
+def alm_fused_words(
+    u_words: Array,   # (B, Tp/4) uint32
+    g_pre: Array,     # (B, Tp) int32
+    Hq: Array,        # (B, Tp, Tp) int8
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,
+    Sq: Array,        # (B, Cp, Tp) int8
+    cs_num: Array,
+    cs_den: Array,
+    c_off: Array,     # (B, Cp) int32
+    lo_pre: Array,
+    hi_pre: Array,
+    eh_num: Array,
+    eh_den: Array,
+    el_num: Array,
+    el_den: Array,
+    lam0: Array,      # (B, Cp) int32
+    *,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Drop-in fused replacement for ``_alm_batched`` (same operands,
+    same returns, bit-identical words and multipliers)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, Tp = g_pre.shape
+    Cp = c_off.shape[1]
+    rows = -(-B // block) * block
+    pad = rows - B
+
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+
+    def bl(x):                                         # batch-last + pad
+        xt = jnp.moveaxis(x, 0, -1)
+        if pad:
+            xt = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(0, pad)])
+        return xt
+
+    sc = jnp.stack([hs_num, hs_den, cs_num, cs_den,
+                    eh_num, eh_den, el_num, el_den], 0)  # (8, B)
+    sc_t = jnp.pad(sc, ((0, 0), (0, pad))) if pad else sc
+    hqt = bl(jnp.transpose(Hq, (0, 2, 1)))             # (k, j, B)
+    sqj = bl(jnp.transpose(Sq, (0, 2, 1)))             # (j, c, B)
+    sqc = bl(Sq)                                       # (c, j, B)
+    args = (bl(lanes), bl(g_pre), hqt, sqj, sqc, bl(c_off),
+            bl(lo_pre), bl(hi_pre), bl(lam0), sc_t)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (block,),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift)
+    with jax.enable_x64(False):
+        out_lanes, out_lam = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, rows), jnp.int32),
+                jax.ShapeDtypeStruct((Cp, rows), jnp.int32),
+            ),
+            grid=(rows // block,),
+            in_specs=[
+                spec(Tp), spec(Tp), spec(Tp, Tp), spec(Tp, Cp),
+                spec(Cp, Tp), spec(Cp), spec(Cp), spec(Cp), spec(Cp),
+                spec(8),
+            ],
+            out_specs=(spec(Tp), spec(Cp)),
+            interpret=interpret,
+        )(*args)
+    words = pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
+    return words, jnp.moveaxis(out_lam, -1, 0)[:B]

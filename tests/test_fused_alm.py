@@ -1,0 +1,156 @@
+"""Fused Pallas ALM inner (mpc/fused_alm.py): bit-identity to the XLA
+``_alm_batched`` path on real DeviceConstrainedSQP operands, including
+batch padding, and through the full solver with ``fused=True``.
+
+The kernel is integer end to end, so identity is exact (word-for-word,
+multiplier-for-multiplier) -- the same contract every other solver tier
+here keeps (tests/test_fused.py, tests/test_parallel.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+from pint_tpu.mpc.fused_alm import alm_fused_words
+from pint_tpu.mpc.sqp_constrained import _Y_SHIFT, _alm_batched
+
+ORDER = ("g_pre", "Hq", "hs_num", "hs_den", "Sq", "cs_num", "cs_den",
+         "c_off", "lo_pre", "hi_pre", "eh_num", "eh_den", "el_num",
+         "el_den")
+
+
+def _mk(**kw):
+    return DeviceConstrainedSQP(
+        DeviceSQP(horizon=8, sqp_iters=2, pgd_iters=6,
+                  x_ref=np.array([1.0, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=2,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def real_ops():
+    devc = _mk(fused=False)
+    d = devc.dev
+    rng = np.random.default_rng(7)
+    B = 12
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(-np.pi, np.pi, B)], axis=-1).astype(np.float32))
+    lanes = jnp.asarray(
+        rng.integers(-100, 100, (B, d.n_dec), dtype=np.int32))
+    ops, _ = jax.jit(devc._condense_constrained_dev)(x0, lanes)
+    return devc, x0, ops
+
+
+@pytest.mark.parametrize("block", [4, 8, 5])  # 5: B=12 pads to 15
+def test_bit_identical_to_alm_batched(real_ops, block):
+    devc, x0, ops = real_ops
+    d = devc.dev
+    B = x0.shape[0]
+    u0 = devc.init_words(B)
+    lam0 = devc.init_lam(B)
+    kw = dict(outer=devc.alm_outer, inners=d.pgd_iters,
+              g_shift=d.g_shift, y_shift=_Y_SHIFT)
+    w1, l1 = _alm_batched(u0, *[ops[k] for k in ORDER], lam0, **kw)
+    w2, l2 = alm_fused_words(
+        u0, *[ops[k] for k in ORDER], lam0, block=block, **kw)
+    assert jnp.array_equal(w1, w2)
+    assert jnp.array_equal(l1, l2)
+
+
+def test_warm_start_operands_identical(real_ops):
+    """Nonzero iterate + multipliers (the receding-horizon path)."""
+    devc, x0, ops = real_ops
+    d = devc.dev
+    B = x0.shape[0]
+    rng = np.random.default_rng(3)
+    from pint_tpu.models.dynamics import pack_controls
+
+    u0 = pack_controls(jnp.asarray(
+        rng.integers(-127, 128, (B, d.n_dec), dtype=np.int32)))
+    lam0 = jnp.asarray(rng.integers(
+        0, 500, (B, devc.padded_rows), dtype=np.int32))
+    kw = dict(outer=devc.alm_outer, inners=d.pgd_iters,
+              g_shift=d.g_shift, y_shift=_Y_SHIFT)
+    w1, l1 = _alm_batched(u0, *[ops[k] for k in ORDER], lam0, **kw)
+    w2, l2 = alm_fused_words(
+        u0, *[ops[k] for k in ORDER], lam0, block=8, **kw)
+    assert jnp.array_equal(w1, w2)
+    assert jnp.array_equal(l1, l2)
+
+
+def test_full_solver_fused_bit_identical():
+    devc_x = _mk(fused=False)
+    devc_f = _mk(fused=True, fused_block=8)
+    B = 6
+    rng = np.random.default_rng(11)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(-np.pi, np.pi, B)], axis=-1).astype(np.float32)
+    u0 = devc_x.init_words(B)
+    w1, l1 = devc_x.solve_words(u0, x0)
+    w2, l2 = devc_f.solve_words(u0, x0)
+    assert jnp.array_equal(w1, w2)
+    assert jnp.array_equal(l1, l2)
+
+
+def test_fused_deterministic():
+    devc = _mk(fused=True, fused_block=8)
+    B = 4
+    x0 = np.array([[0.0, 0.0, 1.0]] * B, np.float32)
+    w1, l1 = devc.solve_words(devc.init_words(B), x0)
+    w2, l2 = devc.solve_words(devc.init_words(B), x0)
+    assert jnp.array_equal(w1, w2)
+    assert jnp.array_equal(l1, l2)
+
+
+@pytest.mark.parametrize("block", [4, 5])
+def test_pgd_fused_bit_identical(block):
+    from pint_tpu.mpc.fused_alm import pgd_fused_words
+    from pint_tpu.mpc.ltv import _pgd_batched_h
+
+    d0 = DeviceSQP(horizon=8, sqp_iters=2, pgd_iters=6,
+                   x_ref=np.array([1.0, 0.0, 0.0]), fused=False)
+    rng = np.random.default_rng(5)
+    B = 12
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32))
+    lanes0 = jnp.asarray(
+        rng.integers(-100, 100, (B, d0.n_dec), dtype=np.int32))
+    Hq, g_pre, hs_num, hs_den = jax.jit(d0._condense_dev)(x0, lanes0)
+    u0 = d0.init_words(B)
+    w1 = _pgd_batched_h(u0, g_pre, Hq, hs_num, hs_den,
+                        iters=6, g_shift=d0.g_shift)
+    w2 = pgd_fused_words(u0, g_pre, Hq, hs_num, hs_den,
+                         iters=6, g_shift=d0.g_shift, block=block)
+    assert jnp.array_equal(w1, w2)
+
+
+def test_device_sqp_fused_solver_bit_identical():
+    kw = dict(horizon=8, sqp_iters=2, pgd_iters=6,
+              x_ref=np.array([1.0, 0.0, 0.0]))
+    d0 = DeviceSQP(**kw, fused=False)
+    d1 = DeviceSQP(**kw, fused=True, fused_block=8)
+    B = 6
+    rng = np.random.default_rng(13)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32)
+    u0 = d0.init_words(B)
+    assert jnp.array_equal(d0.solve_words(u0, x0), d1.solve_words(u0, x0))
+
+
+def test_auto_default_is_backend_gated():
+    """fused=None must resolve to the XLA path off-TPU (no interpret-mode
+    kernel in production CPU use) -- identical results either way, so
+    only the execution path is at stake."""
+    devc = _mk()  # fused=None
+    B = 2
+    x0 = np.array([[0.0, 0.0, 1.0]] * B, np.float32)
+    w_auto, l_auto = devc.solve_words(devc.init_words(B), x0)
+    w_xla, l_xla = _mk(fused=False).solve_words(devc.init_words(B), x0)
+    assert jnp.array_equal(w_auto, w_xla)
+    assert jnp.array_equal(l_auto, l_xla)

@@ -185,6 +185,49 @@ def main() -> None:
     rel = float(np.abs(dcost - hcost[:, -1]).max() / hcost[:, -1].max())
     check(f"device SQP vs host path (rel {rel:.4f})", rel < 0.01)
 
+    # 7. fused VMEM-resident per-problem inner kernels (mpc/fused_alm.py)
+    # vs the XLA inners, natively compiled, identical operands -> must be
+    # bit-identical (the contract tests/test_fused_alm.py asserts on CPU)
+    from pint_tpu.mpc import DeviceConstrainedSQP
+    from pint_tpu.mpc.fused_alm import alm_fused_words, pgd_fused_words
+    from pint_tpu.mpc.ltv import _pgd_batched_h
+    from pint_tpu.mpc.sqp_constrained import _Y_SHIFT, _alm_batched
+
+    B7 = 256
+    rng7 = np.random.default_rng(7)
+    x07 = jnp.asarray(np.stack(
+        [rng7.uniform(-0.2, 0.2, B7), rng7.uniform(-0.2, 0.2, B7),
+         rng7.uniform(-np.pi, np.pi, B7)], axis=-1).astype(np.float32))
+    d7 = DeviceSQP(horizon=8, sqp_iters=2, pgd_iters=6,
+                   x_ref=np.array([1.0, 0.0, 0.0]), fused=False)
+    lanes7 = jnp.asarray(
+        rng7.integers(-100, 100, (B7, d7.n_dec), dtype=np.int32))
+    Hq7, g7, hn7, hd7 = jax.jit(d7._condense_dev)(x07, lanes7)
+    u07 = d7.init_words(B7)
+    w_x = jax.jit(lambda w: _pgd_batched_h(
+        w, g7, Hq7, hn7, hd7, iters=6, g_shift=d7.g_shift))(u07)
+    w_f = jax.jit(lambda w: pgd_fused_words(
+        w, g7, Hq7, hn7, hd7, iters=6, g_shift=d7.g_shift,
+        block=128, interpret=False))(u07)
+    check("fused PGD kernel == XLA inner", bool(jnp.all(w_x == w_f)))
+
+    dc7 = DeviceConstrainedSQP(
+        d7, F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0,
+        alm_outer=2, fused=False)
+    ops7, _ = jax.jit(dc7._condense_constrained_dev)(x07, lanes7)
+    lam07 = dc7.init_lam(B7)
+    order7 = ("g_pre", "Hq", "hs_num", "hs_den", "Sq", "cs_num",
+              "cs_den", "c_off", "lo_pre", "hi_pre", "eh_num", "eh_den",
+              "el_num", "el_den")
+    kw7 = dict(outer=2, inners=6, g_shift=d7.g_shift, y_shift=_Y_SHIFT)
+    wa7, la7 = jax.jit(lambda w, l: _alm_batched(
+        w, *[ops7[k] for k in order7], l, **kw7))(u07, lam07)
+    wb7, lb7 = jax.jit(lambda w, l: alm_fused_words(
+        w, *[ops7[k] for k in order7], l, block=128, interpret=False,
+        **kw7))(u07, lam07)
+    check("fused ALM kernel == XLA inner",
+          bool(jnp.all(wa7 == wb7)) and bool(jnp.all(la7 == lb7)))
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
