@@ -364,6 +364,14 @@ class ConstrainedPGD:
     qcqp: QuantizedConstrainedQP
     outer: int = 10
     inners: int = 40
+    fused: Optional[bool] = None
+    """Run the whole ALM loop as the VMEM-resident Pallas kernel
+    (:func:`pint_tpu.mpc.fused_alm.alm_shared_fused_words`, bit-identical
+    -- tests/test_fused_alm.py).  ``None`` auto-selects: kernel on TPU
+    backends, XLA path elsewhere (identical integer results; pure
+    execution-path choice).  The shared int8 operands are a few KB, so
+    only the iterate and y-planes round-trip HBM in the XLA form."""
+    block_rows: int = 1024
 
     @property
     def _q(self) -> QuantizedQP:
@@ -415,6 +423,26 @@ class ConstrainedPGD:
 
         q = self.qcqp
         qq = self._q
+        use_fused = (
+            self.fused
+            if self.fused is not None
+            else jax.default_backend() in ("tpu", "axon")
+        )
+        if use_fused:
+            from pint_tpu.mpc.fused_alm import alm_shared_fused_words
+
+            return alm_shared_fused_words(
+                u_words, g_pre, c_off,
+                c_off ^ c_off if lam0 is None else lam0,
+                Hq=qq.Hq, Sq=q.Sq, lo_pre=q.lo_pre, hi_pre=q.hi_pre,
+                hs_num=qq.hs_num, hs_den=qq.hs_den,
+                cs_num=q.cs_num, cs_den=q.cs_den,
+                eh_num=q.eh_num, eh_den=q.eh_den,
+                el_num=q.el_num, el_den=q.el_den,
+                outer=self.outer, inners=self.inners,
+                g_shift=qq.g_shift, y_shift=q.y_shift,
+                block_rows=self.block_rows,
+            )
         Hq = jnp.asarray(qq.Hq)
         Sq = jnp.asarray(q.Sq)
         lo = jnp.asarray(q.lo_pre)

@@ -47,7 +47,164 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 
 Array = jax.Array
 
-__all__ = ["alm_fused_words", "pgd_fused_words"]
+__all__ = ["alm_fused_words", "alm_shared_fused_words", "pgd_fused_words"]
+
+
+def _shared_kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift,
+                           hs_num, hs_den, cs_num, cs_den,
+                           eh_num, eh_den, el_num, el_den):
+    """Shared-operand (LTI) ALM kernel: one Hessian/constraint matrix for
+    every problem, so the matvecs are real 2D MXU dots (the FusedPGD
+    pattern) and all rationals are compile-time scalars."""
+    half = np.int32(1 << (g_shift - 1))
+    y_half = np.int32((1 << y_shift) >> 1) if y_shift else np.int32(0)
+    y_cap = np.int32((1 << _Y_BITS) - 1)
+    lam_cap = np.int32(_LAM_CAP)
+    hs_num, hs_den = np.int32(hs_num), np.int32(hs_den)
+    cs_num, cs_den = np.int32(cs_num), np.int32(cs_den)
+    eh_num, eh_den = np.int32(eh_num), np.int32(eh_den)
+    el_num, el_den = np.int32(el_num), np.int32(el_den)
+
+    def kernel(lanes_ref, g_ref, coff_ref, lam_ref, hq_ref, sq_ref,
+               lo_ref, hi_ref, out_lanes, out_lam):
+        g = g_ref[:]                                   # (br, Tp) i32
+        coff = coff_ref[:]                             # (br, Cp) i32
+        hq = hq_ref[:]                                 # (Tp, Tp) i8
+        sq = sq_ref[:]                                 # (Cp, Tp) i8
+        lo, hi = lo_ref[:], hi_ref[:]                  # (1, Cp) i32
+
+        def c_pre_of(lanes):
+            acc = jax.lax.dot_general(
+                lanes.astype(jnp.int8), sq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                          # (br, Cp)
+            return (acc * cs_num) >> cs_den
+
+        def inner(_, st):
+            lanes, carry, ey, lam = st
+            acc = jax.lax.dot_general(
+                lanes.astype(jnp.int8), hq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            pre = (acc * hs_num) >> hs_den
+            t = c_pre_of(lanes) + coff + lam
+            y = t - jnp.clip(t, lo, hi) + ey
+            y14 = jnp.clip((y + y_half) >> np.int32(y_shift), -y_cap, y_cap)
+            ey = y - (y14 << np.int32(y_shift))
+            y_hi = y14 >> np.int32(7)
+            y_lo = y14 - (y_hi << np.int32(7))
+            acc_h = jax.lax.dot_general(
+                y_hi.astype(jnp.int8), sq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_l = jax.lax.dot_general(
+                y_lo.astype(jnp.int8), sq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            extra = ((acc_h * eh_num) >> eh_den) + (
+                (acc_l * el_num) >> el_den)
+            step = -(pre + g + extra) + carry
+            delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+            carry = step - (delta << np.int32(g_shift))
+            lanes = jnp.clip(lanes + delta, -127, 127)
+            return lanes, carry, ey, lam
+
+        def outer_body(_, st):
+            lanes, carry, ey, lam = st
+            lanes, carry, ey, lam = jax.lax.fori_loop(
+                0, inners, inner, (lanes, carry, ey, lam)
+            )
+            t = c_pre_of(lanes) + coff + lam
+            lam = jnp.clip(t - jnp.clip(t, lo, hi), -lam_cap, lam_cap)
+            return lanes, carry, ey, lam
+
+        st = (lanes_ref[:], jnp.zeros_like(g), jnp.zeros_like(coff),
+              lam_ref[:])
+        lanes, _, _, lam = jax.lax.fori_loop(0, outer, outer_body, st)
+        out_lanes[:] = lanes
+        out_lam[:] = lam
+
+    return kernel
+
+
+def alm_shared_fused_words(
+    u_words: Array,   # (B, Tp/4) uint32
+    g_pre: Array,     # (B, Tp) int32
+    c_off: Array,     # (B, Cp) int32
+    lam0: Array,      # (B, Cp) int32
+    *,
+    Hq: np.ndarray,   # (Tp, Tp) int8, shared
+    Sq: np.ndarray,   # (Cp, Tp) int8, shared
+    lo_pre: np.ndarray,
+    hi_pre: np.ndarray,
+    hs_num: int, hs_den: int,
+    cs_num: int, cs_den: int,
+    eh_num: int, eh_den: int,
+    el_num: int, el_den: int,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    block_rows: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """VMEM-resident ALM loop for the shared-operand (LTI) tier: the fused
+    sibling of :meth:`pint_tpu.mpc.constrained.ConstrainedPGD.solve_words`
+    (bit-identical words and multipliers, tests/test_fused_alm.py).  The
+    shared int8 matrices are a few KB so the whole loop runs from VMEM;
+    the XLA form round-trips the iterate and y-planes through HBM every
+    one of its ``outer x inners`` iterations."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, Tp = g_pre.shape
+    Cp = c_off.shape[1]
+    br = block_rows
+    rows = -(-B // br) * br
+    pad = rows - B
+
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+
+    def pd(x):
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    kern = _shared_kernel_factory(
+        Tp, Cp, outer, inners, g_shift, y_shift,
+        hs_num, hs_den, cs_num, cs_den, eh_num, eh_den, el_num, el_den)
+
+    def bspec(cols):
+        return pl.BlockSpec(
+            (br, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        out_lanes, out_lam = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, Tp), jnp.int32),
+                jax.ShapeDtypeStruct((rows, Cp), jnp.int32),
+            ),
+            grid=(rows // br,),
+            in_specs=[
+                bspec(Tp), bspec(Tp), bspec(Cp), bspec(Cp),
+                shared((Tp, Tp)), shared((Cp, Tp)),
+                shared((1, Cp)), shared((1, Cp)),
+            ],
+            out_specs=(bspec(Tp), bspec(Cp)),
+            interpret=interpret,
+        )(
+            pd(lanes), pd(g_pre), pd(c_off), pd(lam0),
+            jnp.asarray(Hq), jnp.asarray(Sq),
+            jnp.asarray(lo_pre, jnp.int32).reshape(1, -1),
+            jnp.asarray(hi_pre, jnp.int32).reshape(1, -1),
+        )
+    return pack_controls(out_lanes[:B]), out_lam[:B]
 
 
 def _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift):

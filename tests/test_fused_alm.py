@@ -143,6 +143,45 @@ def test_device_sqp_fused_solver_bit_identical():
     assert jnp.array_equal(d0.solve_words(u0, x0), d1.solve_words(u0, x0))
 
 
+def _lti_constrained(fused, **kw):
+    from pint_tpu.mpc import (condense_double_integrator, constrain_states,
+                              quantize_constrained)
+    from pint_tpu.mpc.constrained import ConstrainedPGD
+
+    T, dt = 12, 1.0 / 32.0
+    qp = condense_double_integrator(T=T, dt=dt, q_pos=4.0)
+    A = np.array([[1.0, dt], [0.0, 1.0]])
+    Bm = np.array([[0.5 * dt * dt], [dt]])
+    sc = constrain_states(
+        qp, np.broadcast_to(A, (T, 2, 2)), np.broadcast_to(Bm, (T, 2, 1)),
+        None, F=[[0.0, 1.0]], lo=-0.25, hi=0.25)
+    return ConstrainedPGD(quantize_constrained(sc, rho=50.0),
+                          outer=3, inners=8, fused=fused, **kw)
+
+
+@pytest.mark.parametrize("block_rows", [4, 8, 5])  # 5: B=12 pads to 15
+def test_shared_fused_lti_bit_identical(block_rows):
+    s0 = _lti_constrained(False)
+    s1 = _lti_constrained(True, block_rows=block_rows)
+    B = 12
+    rng = np.random.default_rng(2)
+    x0 = np.stack([rng.uniform(-1.5, 1.5, B),
+                   rng.uniform(-0.2, 0.2, B)], axis=-1)
+    g = jnp.asarray(s0._q.g_lane_fixed(x0))
+    co = jnp.asarray(s0.qcqp.c_off_pre(x0))
+    u0 = s0.init_words(B)
+    w0, l0 = jax.jit(s0.solve_words)(u0, g, co)
+    w1, l1 = jax.jit(s1.solve_words)(u0, g, co)
+    assert jnp.array_equal(w0, w1)
+    assert jnp.array_equal(l0, l1)
+    # warm multipliers (receding-horizon path)
+    lam = jnp.asarray(rng.integers(0, 300, l0.shape, np.int32))
+    w0, l0 = jax.jit(s0.solve_words)(u0, g, co, lam)
+    w1, l1 = jax.jit(s1.solve_words)(u0, g, co, lam)
+    assert jnp.array_equal(w0, w1)
+    assert jnp.array_equal(l0, l1)
+
+
 def test_auto_default_is_backend_gated():
     """fused=None must resolve to the XLA path off-TPU (no interpret-mode
     kernel in production CPU use) -- identical results either way, so

@@ -228,6 +228,33 @@ def main() -> None:
     check("fused ALM kernel == XLA inner",
           bool(jnp.all(wa7 == wb7)) and bool(jnp.all(la7 == lb7)))
 
+    # shared-operand (LTI) fused ALM vs the XLA ConstrainedPGD loop
+    from pint_tpu.mpc import (condense_double_integrator, constrain_states,
+                              quantize_constrained)
+    from pint_tpu.mpc.constrained import ConstrainedPGD
+
+    T8, dt8 = 12, 1.0 / 32.0
+    qp8 = condense_double_integrator(T=T8, dt=dt8, q_pos=4.0)
+    A8 = np.array([[1.0, dt8], [0.0, 1.0]])
+    B8 = np.array([[0.5 * dt8 * dt8], [dt8]])
+    sc8 = constrain_states(
+        qp8, np.broadcast_to(A8, (T8, 2, 2)),
+        np.broadcast_to(B8, (T8, 2, 1)), None,
+        F=[[0.0, 1.0]], lo=-0.25, hi=0.25)
+    qc8 = quantize_constrained(sc8, rho=50.0)
+    s8x = ConstrainedPGD(qc8, outer=3, inners=8, fused=False)
+    s8f = ConstrainedPGD(qc8, outer=3, inners=8, fused=True,
+                         block_rows=128)
+    x08 = np.stack([np.linspace(-1.0, 1.0, 64),
+                    np.linspace(-0.2, 0.2, 64)], axis=-1)
+    g8 = jnp.asarray(s8x._q.g_lane_fixed(x08))
+    co8 = jnp.asarray(qc8.c_off_pre(x08))
+    u08 = s8x.init_words(64)
+    wx8, lx8 = jax.jit(s8x.solve_words)(u08, g8, co8)
+    wf8, lf8 = jax.jit(s8f.solve_words)(u08, g8, co8)
+    check("fused shared-ALM kernel == XLA loop",
+          bool(jnp.all(wx8 == wf8)) and bool(jnp.all(lx8 == lf8)))
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
