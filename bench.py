@@ -84,6 +84,26 @@ def note(msg: str) -> None:
     print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+class _SpreadInto(list):
+    """stats_out sink for time_chained that records the per-sample spread
+    straight into SPREADS under a fixed label (seconds, not rates)."""
+
+    def __init__(self, label):
+        super().__init__()
+        self.label = label
+
+    def append(self, v):
+        super().append(v)
+        lo, med, hi = v
+        SPREADS[self.label] = {
+            "sec_min": lo, "sec_med": med, "sec_max": hi,
+        }
+
+
+def _spread(label):
+    return _SpreadInto(label)
+
+
 def _timed_rate(label, numerator, step, x0, *consts, inner, reps=5,
                 overhead=None):
     """Median rate = numerator/sec over ``reps`` samples; records spread.
@@ -554,6 +574,139 @@ def bench_constrained(overhead, batch=4096, horizon=50, reps=5):
     )
 
 
+def bench_serving(overhead, reps=30, b_lti=8192, b_rti=4096) -> dict:
+    """Serving-loop latency (VERDICT round-3 Missing #3): tick timing for
+    the three production endpoints.
+
+    Two regimes per endpoint:
+    * device tick rate -- the warm-state update chained on device via
+      ``time_chained`` (what a pipelined deployment sustains; the fetch
+      RTT is paid once per chained block),
+    * end-to-end ``.solve()`` latency percentiles -- one numpy-in /
+      numpy-out tick including the device->host fetch, which under the
+      axon tunnel is dominated by the ~29 ms round trip (CLAUDE.md); the
+      sync overhead is reported alongside so the chip-side share is
+      readable.
+    """
+    from pint_tpu.mpc import (
+        DeviceConstrainedSQP,
+        DeviceSQP,
+        condense_double_integrator,
+        quantize,
+    )
+    from pint_tpu.serving import (
+        ConstrainedRTIService,
+        MPCService,
+        RTIService,
+    )
+
+    out = {}
+    rng = np.random.default_rng(0)
+
+    def e2e(svc, x0, n=reps):
+        svc.solve(x0)                       # warm/compile
+        lat = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            svc.solve(x0)
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat)
+        return (float(np.percentile(lat, 50) * 1e3),
+                float(np.percentile(lat, 99) * 1e3))
+
+    # -- MPCService: LTI quantized MPC, batch 8192, T=50 ---------------------
+    b = b_lti
+    qqp = quantize(condense_double_integrator(T=50))
+    svc = MPCService(qqp, batch=b, iters_per_tick=15)
+    x0 = np.stack([rng.uniform(-3, 3, b), rng.uniform(-1, 1, b)], axis=-1)
+    g = jnp.asarray(qqp.g_lane_fixed(x0))
+    sec = time_chained(
+        lambda w, gg: svc._tick(w, gg)[1], svc._solver.init_words(b), g,
+        inner=64, reps=5, overhead=overhead, stats_out=_spread("serving_mpc"),
+    )
+    out["mpc_tick_device_us"] = sec * 1e6
+    out["mpc_ticks_per_s_device"] = 1.0 / sec
+    p50, p99 = e2e(svc, x0)
+    out["mpc_solve_p50_ms"], out["mpc_solve_p99_ms"] = p50, p99
+
+    # -- RTIService: nonlinear RTI (DeviceSQP, 1 SQP/tick), batch 4096 -------
+    b = b_rti
+    sqp = DeviceSQP(horizon=32, sqp_iters=1, pgd_iters=30,
+                    Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+                    qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]))
+    rti = RTIService(sqp, batch=b)
+    x0r = np.stack([rng.uniform(-0.2, 0.2, b), rng.uniform(-0.2, 0.2, b),
+                    rng.uniform(0, 1, b)], axis=-1)
+    x0rj = jnp.asarray(x0r, jnp.float32)
+    sec = time_chained(
+        lambda w, x: rti._tick(w, x)[0], rti._zero, x0rj,
+        inner=16, reps=5, overhead=overhead, stats_out=_spread("serving_rti"),
+    )
+    out["rti_tick_device_us"] = sec * 1e6
+    out["rti_ticks_per_s_device"] = 1.0 / sec
+    p50, p99 = e2e(rti, x0r)
+    out["rti_solve_p50_ms"], out["rti_solve_p99_ms"] = p50, p99
+
+    # -- ConstrainedRTIService: constrained RTI, batch 4096 ------------------
+    csqp = DeviceConstrainedSQP(
+        DeviceSQP(horizon=32, sqp_iters=1, pgd_iters=30,
+                  x_ref=np.array([1.0, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=3,
+    )
+    crti = ConstrainedRTIService(csqp, batch=b)
+    x0c = np.stack([rng.uniform(-0.2, 0.2, b), rng.uniform(-0.2, 0.2, b),
+                    rng.uniform(-np.pi, np.pi, b)], axis=-1)
+    x0cj = jnp.asarray(x0c, jnp.float32)
+    sec = time_chained(
+        lambda st, x: crti._tick(st[0], st[1], x)[:2],
+        (crti._zero, crti._zero_lam), x0cj,
+        inner=8, reps=5, overhead=overhead, stats_out=_spread("serving_crti"),
+    )
+    out["crti_tick_device_us"] = sec * 1e6
+    out["crti_ticks_per_s_device"] = 1.0 / sec
+    p50, p99 = e2e(crti, x0c)
+    out["crti_solve_p50_ms"], out["crti_solve_p99_ms"] = p50, p99
+    return out
+
+
+def bench_device_t50(overhead, batch=4096, reps=5) -> dict:
+    """Device-tier solvers at the BASELINE.json north-star horizon T=50
+    (VERDICT round-3 item 7): the headline configs re-measured at the
+    mandated horizon for both DeviceSQP and DeviceConstrainedSQP."""
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+
+    out = {}
+    rng = np.random.default_rng(0)
+    dev = DeviceSQP(
+        horizon=50, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+    )
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.2, 0.2, batch),
+         rng.uniform(0, 1, batch)], axis=-1).astype(np.float32))
+    out["device_sqp_T50_solves_per_s"] = _timed_rate(
+        "device_sqp_T50", batch, lambda w, x: dev._solve_jit(w, x),
+        dev.init_words(batch), x0, inner=8, reps=reps, overhead=overhead,
+    )
+
+    devc = DeviceConstrainedSQP(
+        DeviceSQP(horizon=50, sqp_iters=4, pgd_iters=30,
+                  x_ref=np.array([1.0, 0.0, 0.0])),
+        F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0, alm_outer=3,
+    )
+    x0c = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.2, 0.2, batch),
+         rng.uniform(-np.pi, np.pi, batch)], axis=-1).astype(np.float32))
+    out["device_constrained_T50_solves_per_s"] = _timed_rate(
+        "device_constrained_T50", batch,
+        lambda st, x: devc._solve_jit(st[0], x, st[1]),
+        (devc.init_words(batch), devc.init_lam(batch)), x0c,
+        inner=4, reps=reps, overhead=overhead,
+    )
+    return out
+
+
 def bench_vpu_ops(overhead, n: int = 1 << 18, ops_per_pass: int = 64,
                   lanes: int = 4) -> float:
     """Sustained VPU int32 whole-word ops/s: ``lanes`` INDEPENDENT fused
@@ -986,6 +1139,12 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
     def sec_op_table():
         _run_full_op_table(results, overhead, lay8888, lay_het)
 
+    def sec_serving():
+        results["serving"] = bench_serving(overhead)
+
+    def sec_device_t50():
+        results.update(bench_device_t50(overhead, reps=reps))
+
     def sec_sqp_phases():
         results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
         results["device_constrained_phases"] = (
@@ -1000,9 +1159,11 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
         ("device_constrained", sec_device_constrained, 60),
         ("rollouts", sec_rollouts, 45),
         ("comparator", sec_comparator, 60),
+        ("serving", sec_serving, 120),
     ]
     if full:
         sections.append(("op_table", sec_op_table, 0))
+        sections.append(("device_t50", sec_device_t50, 0))
     if sqp_phases:
         sections.append(("sqp_phases", sec_sqp_phases, 0))
 

@@ -108,14 +108,30 @@ class DeviceConstrainedSQP:
     (default) auto-selects: kernel on TPU backends, XLA path elsewhere
     (the interpret-mode kernel is only for tests).  The ALM inner is
     bit-identical to ``_alm_batched`` given identical operands (tests +
-    on-chip check, exp_fused_alm_tpu.py), and each path is individually
-    bit-deterministic; across full solves the surrounding f32
-    condensation may compile differently around the custom call, which
-    can land quantization ties on adjacent roundings (measured identical
-    here at the headline config, but see DeviceSQP.fused for a config
-    where it is not).  ``sharded_solve_words`` always uses the XLA path
-    (the per-inner psums cannot live inside one kernel)."""
+    on-chip check, exp_fused_alm_tpu.py); with the default ``lipq``
+    kernels full fused vs XLA solves are bit-identical on chip as well
+    (EXP_R4.json: 0/4096 words AND multipliers differing at the headline
+    config -- see DeviceSQP.fused for the mechanism).
+    ``sharded_solve_words`` honors the same
+    flag on dp-major (tp == 1) meshes, where per-shard solves are
+    independent -- the default TPU path is the fused kernel in both
+    entry points, so solve == dp-sharded-solve holds bit-exactly.
+    tp > 1 keeps the XLA column path (its per-inner psums cannot live
+    inside one kernel)."""
     fused_block: int = 128
+    lipq: Optional[bool] = None
+    """Run the condensation epilogues as VMEM-resident Pallas kernels:
+    :func:`pint_tpu.mpc.condense_fused.lipq_fused` for the objective
+    (power-iteration Lipschitz + int8 Hessian, replacing the XLA pair
+    that re-streams Ht ``power_iters + 2`` times) and
+    :func:`~pint_tpu.mpc.condense_fused.pen_fused` for the constraints
+    (penalty power iteration + int8 row quantization in both kernel
+    orientations, replacing the XLA ``_pen_lipschitz`` that re-streams
+    S_t twice per iteration).  ``None`` auto-selects: kernels on TPU
+    backends, XLA elsewhere.  Chip-validated (EXP_R4.json): headline
+    130.5K -> 134.5K solves/s, full fused-vs-XLA solves bit-identical.
+    Same self-consistency contract as :attr:`DeviceSQP.lipq`."""
+    lipq_block: int = 128
 
     @functools.cached_property
     def _F(self) -> np.ndarray:
@@ -180,10 +196,15 @@ class DeviceConstrainedSQP:
         hv = jnp.sum(S_t * w[:, None, :], axis=0)
         return jnp.sum(v * hv, axis=0) * np.float32(1.05)
 
-    def _condense_constrained_dev(self, x0_f: Array, lanes: Array):
+    def _condense_constrained_dev(
+        self, x0_f: Array, lanes: Array, use_lipq: bool = False
+    ):
         """Full traced per-iteration prep: linearize, condense, stack,
-        quantize objective + constraints.  Returns (ops dict for
-        _alm_batched, c_unit (B,) f32)."""
+        quantize objective + constraints.  Returns (ops dict, c_unit (B,)
+        f32).  With ``use_lipq`` the two condensation epilogues run as
+        VMEM-resident Pallas kernels and ops carries the batch-last
+        kernel-orientation int8 matrices (``hqt``/``sqj``/``sqc``)
+        instead of ``Hq``/``Sq``."""
         d = self.dev
         Tp = d.n_dec
         C, Cp = self.n_rows, self.padded_rows
@@ -191,28 +212,61 @@ class DeviceConstrainedSQP:
         A_seq, B_lane, c_seq = d._linearize_phase(x0_f, lanes)
         Abar, Bbar_all, Cbar = d._propagate_scan(A_seq, B_lane, c_seq)
         Ht, g = d._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
-        lip = d._lipschitz_phase(Ht)
         S_t, P_t, r_t = self._stack_constraints(Abar, Bbar_all, Cbar)
-        pen_lip = self._pen_lipschitz(S_t)
-        # alpha = 1 / (lip + rho * pen_lip): reuse the objective quantizer
-        # with the combined curvature as its "lip"
-        lip_total = lip + np.float32(self.rho) * pen_lip
-        Hq, g_pre, hs_num, hs_den = d._quantize_phase(Ht, g, lip_total)
-        alpha = 1.0 / lip_total                               # (B,)
+        # pin every f32 reduction output before anything rounds on it:
+        # without the barrier XLA compiles these differently around a
+        # Pallas inner than around the XLA fori_loop inner, and the
+        # last-ulp deltas flip quantization ties between the two full
+        # solves (see DeviceSQP._condense_dev)
+        Ht, g, S_t, P_t, r_t = jax.lax.optimization_barrier(
+            (Ht, g, S_t, P_t, r_t)
+        )
+        if use_lipq:
+            from pint_tpu.mpc.condense_fused import lipq_fused, pen_fused
 
-        # constraint quantization, the traced mirror of
-        # ConstrainedSQP._condense_constrained (sqp_constrained.py)
-        s_scale = jnp.max(jnp.abs(S_t), axis=(0, 1)) / 127.0  # (B,)
-        Sq_t = jnp.clip(
-            jnp.round(S_t / s_scale[None, None, :]), -127, 127
-        ).astype(jnp.int8)                                    # (C, Tm, B)
-        Sq = jnp.transpose(Sq_t, (2, 0, 1))                   # (B, C, Tm)
-        if Cp > C:
-            Sq = jnp.pad(Sq, ((0, 0), (0, Cp - C), (0, 0)))
+            hqt, lip, h_max = lipq_fused(
+                Ht, power_iters=d.power_iters, block=self.lipq_block
+            )
+            sqc, sqj, pen_lip, s_scale, row_amp = pen_fused(
+                S_t, power_iters=d.power_iters, block=self.lipq_block
+            )
+            lip_total = lip + np.float32(self.rho) * pen_lip
+            alpha = 1.0 / lip_total                           # (B,)
+            g_pre = d._g_pre_from(g, alpha)
+            hs_num, hs_den = d._step_rationals(
+                alpha * h_max / 127.0
+            )
+            if Cp > C:
+                sqc = jnp.pad(sqc, ((0, Cp - C), (0, 0), (0, 0)))
+                sqj = jnp.pad(sqj, ((0, 0), (0, Cp - C), (0, 0)))
+            mats = dict(hqt=hqt, sqj=sqj, sqc=sqc)
+        else:
+            lip = d._lipschitz_phase(Ht)
+            pen_lip = self._pen_lipschitz(S_t)
+            lip, pen_lip = jax.lax.optimization_barrier((lip, pen_lip))
+            # alpha = 1 / (lip + rho * pen_lip): reuse the objective
+            # quantizer with the combined curvature as its "lip"
+            lip_total = lip + np.float32(self.rho) * pen_lip
+            Hq, g_pre, hs_num, hs_den = d._quantize_phase(
+                Ht, g, lip_total
+            )
+            alpha = 1.0 / lip_total                           # (B,)
+
+            # constraint quantization, the traced mirror of
+            # ConstrainedSQP._condense_constrained (sqp_constrained.py)
+            s_scale = jnp.max(jnp.abs(S_t), axis=(0, 1)) / 127.0  # (B,)
+            Sq_t = jnp.clip(
+                jnp.round(S_t / s_scale[None, None, :]), -127, 127
+            ).astype(jnp.int8)                                # (C, Tm, B)
+            Sq = jnp.transpose(Sq_t, (2, 0, 1))               # (B, C, Tm)
+            if Cp > C:
+                Sq = jnp.pad(Sq, ((0, 0), (0, Cp - C), (0, 0)))
+            row_amp = 127.0 * jnp.max(
+                jnp.sum(jnp.abs(S_t), axis=1), axis=0
+            )                                                 # (B,)
+            row_amp = jax.lax.optimization_barrier(row_amp)
+            mats = dict(Hq=Hq, Sq=Sq)
         lo_r, hi_r = self._bounds
-        row_amp = 127.0 * jnp.max(
-            jnp.sum(jnp.abs(S_t), axis=1), axis=0
-        )                                                     # (B,)
         b_amp = np.float32(max(np.abs(lo_r).max(), np.abs(hi_r).max()))
         c_unit = 2.0 * (row_amp + b_amp) / np.float32(1 << _C_BITS)
 
@@ -256,6 +310,7 @@ class DeviceConstrainedSQP:
             jnp.einsum("bn,cnb->bc", x0_f.astype(jnp.float32), P_t)
             + jnp.transpose(r_t)
         )
+        off = jax.lax.optimization_barrier(off)
         off = jnp.nan_to_num(
             off / c_unit[:, None], posinf=_CX0_CAP, neginf=-_CX0_CAP
         )
@@ -264,24 +319,82 @@ class DeviceConstrainedSQP:
         ).astype(jnp.int32)
         c_off = jnp.pad(c_off, ((0, 0), (0, pad_cols)))
         ops = dict(
-            g_pre=g_pre, Hq=Hq, hs_num=hs_num, hs_den=hs_den, Sq=Sq,
+            g_pre=g_pre, hs_num=hs_num, hs_den=hs_den,
             cs_num=cs_num, cs_den=cs_den, c_off=c_off, lo_pre=lo_pre,
             hi_pre=hi_pre, eh_num=eh_num, eh_den=eh_den, el_num=el_num,
-            el_den=el_den,
+            el_den=el_den, **mats,
         )
-        return ops, c_unit
+        # barrier the quantized operands too, so the consumer (Pallas
+        # kernel vs XLA fori_loop) cannot pull the rounding chain into a
+        # differently-compiled fusion
+        return jax.lax.optimization_barrier((ops, c_unit))
 
     # -- public API --------------------------------------------------------------
+
+    def _auto(self, flag: Optional[bool]) -> bool:
+        return (
+            flag
+            if flag is not None
+            else jax.default_backend() in ("tpu", "axon")
+        )
+
+    def _run_inner(self, use_fused, use_lipq, words, ops, lam):
+        """Dispatch the ALM inner on the (statically chosen) operand
+        layout: kernel-orientation mats (lipq) or batch-first, Pallas
+        kernel (fused) or XLA ``_alm_batched`` -- all four combinations
+        bit-identical given the same quantized operands."""
+        d = self.dev
+        kw = dict(
+            outer=self.alm_outer, inners=d.pgd_iters,
+            g_shift=d.g_shift, y_shift=_Y_SHIFT,
+        )
+        rest = (
+            ops["cs_num"], ops["cs_den"], ops["c_off"], ops["lo_pre"],
+            ops["hi_pre"], ops["eh_num"], ops["eh_den"], ops["el_num"],
+            ops["el_den"], lam,
+        )
+        if use_lipq:
+            if use_fused:
+                from pint_tpu.mpc.fused_alm import alm_fused_words_pre
+
+                return alm_fused_words_pre(
+                    words, ops["g_pre"], ops["hqt"], ops["hs_num"],
+                    ops["hs_den"], ops["sqj"], ops["sqc"], *rest,
+                    block=self.fused_block, **kw,
+                )
+            Hq = jnp.transpose(ops["hqt"], (2, 1, 0))
+            Sq = jnp.transpose(ops["sqc"], (2, 0, 1))
+            return _alm_batched(
+                words, ops["g_pre"], Hq, ops["hs_num"], ops["hs_den"],
+                Sq, *rest, **kw,
+            )
+        if use_fused:
+            from pint_tpu.mpc.fused_alm import alm_fused_words
+
+            return alm_fused_words(
+                words, ops["g_pre"], ops["Hq"], ops["hs_num"],
+                ops["hs_den"], ops["Sq"], *rest,
+                block=self.fused_block, **kw,
+            )
+        return _alm_batched(
+            words, ops["g_pre"], ops["Hq"], ops["hs_num"], ops["hs_den"],
+            ops["Sq"], *rest, **kw,
+        )
 
     @functools.cached_property
     def _solve_jit(self):
         d = self.dev
 
         def solve(u_words: Array, x0_f: Array, lam0: Array):
+            use_fused = self._auto(self.fused)
+            use_lipq = self._auto(self.lipq)
+
             def outer(k, st):
                 words, lam, prev_cu = st
                 lanes = unpack_controls(words)[:, : d.n_dec]
-                ops, c_unit = self._condense_constrained_dev(x0_f, lanes)
+                ops, c_unit = self._condense_constrained_dev(
+                    x0_f, lanes, use_lipq
+                )
                 # multipliers live in c-pre units; relinearization moves
                 # the per-problem c_unit, so carried lam is rescaled to
                 # keep its physical value lam_pre * c_unit (no-op on the
@@ -294,27 +407,8 @@ class DeviceConstrainedSQP:
                     jnp.round(lam.astype(jnp.float32) * scale[:, None]),
                     -float(_LAM_CAP), float(_LAM_CAP),
                 ).astype(jnp.int32)
-                use_fused = (
-                    self.fused
-                    if self.fused is not None
-                    else jax.default_backend() in ("tpu", "axon")
-                )
-                if use_fused:
-                    from pint_tpu.mpc.fused_alm import alm_fused_words
-
-                    alm = functools.partial(
-                        alm_fused_words, block=self.fused_block
-                    )
-                else:
-                    alm = _alm_batched
-                words, lam = alm(
-                    words,
-                    ops["g_pre"], ops["Hq"], ops["hs_num"], ops["hs_den"],
-                    ops["Sq"], ops["cs_num"], ops["cs_den"], ops["c_off"],
-                    ops["lo_pre"], ops["hi_pre"], ops["eh_num"],
-                    ops["eh_den"], ops["el_num"], ops["el_den"], lam,
-                    outer=self.alm_outer, inners=d.pgd_iters,
-                    g_shift=d.g_shift, y_shift=_Y_SHIFT,
+                words, lam = self._run_inner(
+                    use_fused, use_lipq, words, ops, lam
                 )
                 return words, lam, c_unit
 
@@ -372,10 +466,13 @@ class DeviceConstrainedSQP:
         evaluation) while the constraint-row plane stays tp-replicated
         (:func:`~pint_tpu.mpc.sqp_constrained._alm_batched_cols`).  Per
         SQP outer one int32 all_gather rebuilds the lane plan and the f32
-        condensation + quantization run tp-replicated.  Bit-identical to
-        :meth:`solve_words` on every mesh shape
-        (tests/test_device_constrained.py).  Hold onto the returned
-        callable: a fresh program is built per call.
+        condensation + quantization run tp-replicated.  On dp-major
+        meshes (tp == 1) the inner honors ``fused`` -- the VMEM-resident
+        Pallas ALM kernel runs per shard, so a multi-chip deployment
+        keeps the fused per-chip rate (bit-identity:
+        tests/test_fused_alm.py).  Bit-identical to :meth:`solve_words`
+        on every mesh shape (tests/test_device_constrained.py).  Hold
+        onto the returned callable: a fresh program is built per call.
         """
         from jax.sharding import PartitionSpec as P
 
@@ -387,6 +484,9 @@ class DeviceConstrainedSQP:
                 f"words across tp={tp}"
             )
         block = d.n_dec // tp
+        use_fused = self._auto(self.fused)
+        use_lipq = self._auto(self.lipq)
+        fused_tp1 = tp == 1 and use_fused
 
         def local(u_words: Array, x0_f: Array, lam0: Array):
             r = jax.lax.axis_index("tp")
@@ -401,7 +501,9 @@ class DeviceConstrainedSQP:
                 lanes = jax.lax.all_gather(
                     lanes_r, "tp", axis=1, tiled=True
                 )  # (B_loc, Tm): exact int32 plan, tp-replicated
-                ops, c_unit = self._condense_constrained_dev(x0_f, lanes)
+                ops, c_unit = self._condense_constrained_dev(
+                    x0_f, lanes, use_lipq
+                )
                 scale = jnp.where(
                     k > 0, prev_cu / c_unit, jnp.ones_like(c_unit)
                 )
@@ -409,12 +511,22 @@ class DeviceConstrainedSQP:
                     jnp.round(lam.astype(jnp.float32) * scale[:, None]),
                     -float(_LAM_CAP), float(_LAM_CAP),
                 ).astype(jnp.int32)
+                if fused_tp1:   # tp == 1: whole-column fused inner
+                    words, lam = self._run_inner(
+                        True, use_lipq, words, ops, lam
+                    )
+                    return words, lam, c_unit
+                if use_lipq:   # column path wants batch-first int8 mats
+                    Hq = jnp.transpose(ops["hqt"], (2, 1, 0))
+                    Sq = jnp.transpose(ops["sqc"], (2, 0, 1))
+                else:
+                    Hq, Sq = ops["Hq"], ops["Sq"]
                 g_r = jax.lax.dynamic_slice_in_dim(
                     ops["g_pre"], r * block, block, axis=1
                 )
                 words, lam = _alm_batched_cols(
-                    words, g_r, ops["Hq"], ops["hs_num"], ops["hs_den"],
-                    ops["Sq"], ops["cs_num"], ops["cs_den"], ops["c_off"],
+                    words, g_r, Hq, ops["hs_num"], ops["hs_den"],
+                    Sq, ops["cs_num"], ops["cs_den"], ops["c_off"],
                     ops["lo_pre"], ops["hi_pre"], ops["eh_num"],
                     ops["eh_den"], ops["el_num"], ops["el_den"], lam,
                     outer=self.alm_outer, inners=d.pgd_iters,
@@ -441,6 +553,10 @@ class DeviceConstrainedSQP:
             mesh=mesh,
             in_specs=(P("dp", "tp"), P("dp", None), P("dp", None)),
             out_specs=(P("dp", "tp"), P("dp", None)),
+            # any kernel in the shard body requires disabling varying-
+            # manual-axes checking: Pallas kernel internals don't
+            # propagate vma tags (see DeviceSQP.sharded_solve_words)
+            check_vma=not fused_tp1 and not use_lipq,
         )
         return jax.jit(
             lambda u, x0, lam: fn(u, jnp.asarray(x0, jnp.float32), lam)

@@ -123,17 +123,43 @@ class DeviceSQP:
     (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
     auto-selects: kernel on TPU backends, XLA elsewhere.  The inner is
     bit-identical to ``_pgd_batched_h`` given identical operands
-    (tests/test_fused_alm.py; verified natively on chip), and each
-    execution path is individually bit-deterministic.  Across FULL
-    solves the two paths can disagree on a small fraction of problems:
-    the f32 condensation is compiled differently around the custom call
-    (fusion/reduction order), so quantization ties land on adjacent
-    roundings -- measured 80/4096 problems, 0.43% of lanes after 4
-    re-linearizations at the headline config (exp_fused_pgd_diff.py);
-    both stay within the solver's quantization tolerance to the float64
-    oracle.  ``sharded_solve_words`` always uses the XLA path (its
-    per-iteration psum cannot live inside one kernel)."""
+    (tests/test_fused_alm.py; verified natively on chip).  With the
+    default ``lipq`` kernel, FULL fused vs XLA solves are bit-identical
+    on chip too -- EXP_R4.json measures 0/4096 problems differing at the
+    headline config, closing the round-3 80/4096 crack: the quantization
+    roundings happen inside one Pallas kernel whose compilation cannot
+    vary with the inner choice (with ``lipq=False`` the XLA lip/quantize
+    reductions compile differently around the custom call and ties land
+    on adjacent roundings; ``optimization_barrier`` alone measured
+    insufficient, and per-program strict-precision options are ignored
+    by the axon AOT compiler -- exp_strict_precision.py).
+    ``sharded_solve_words`` honors the same flag on dp-major (tp == 1)
+    meshes, where per-shard solves need no in-loop psum -- the DEFAULT
+    TPU path is the fused kernel in both entry points, so
+    solve == dp-sharded-solve holds bit-exactly.  tp > 1 meshes keep the
+    XLA column path (its per-iteration psum cannot live inside one
+    kernel), which under ``lipq`` quantizes identically to the fused
+    path."""
     fused_block: int = 128
+    lipq: "bool | None" = None
+    """Run the condensation epilogue (power-iteration Lipschitz + int8
+    Hessian quantization) as the VMEM-resident Pallas kernel
+    (:func:`pint_tpu.mpc.condense_fused.lipq_fused`) instead of the XLA
+    ``_lipschitz_phase`` + ``_quantize_phase`` pair.  The kernel loads
+    each batch block's Ht slab into VMEM ONCE (the XLA pair re-streams it
+    ``power_iters + 2`` times from HBM) and emits the int8 Hessian
+    directly in the fused inner's batch-last orientation, skipping both
+    16 MB int8 transposes.  ``None`` auto-selects: kernel on TPU
+    backends, XLA elsewhere.  Chip-validated (EXP_R4.json): the int8
+    quantization is bit-exact vs the XLA recompute given the kernel's
+    own scales, the Lipschitz estimate tracks the XLA power iteration to
+    7e-7 relative, and the headline solves/s moves 221.6K -> 234.4K.
+    The kernel's power iteration accumulates in a fixed unrolled order,
+    so its quantization is a self-consistent sibling of the XLA pair's
+    (last-ulp lip differences can move quantization ties); within either
+    setting the fused and XLA inners stay bit-identical
+    (tests/test_condense_fused.py, and on chip EXP_R4.json)."""
+    lipq_block: int = 128
 
     @functools.cached_property
     def _Qf(self) -> np.ndarray:
@@ -429,10 +455,24 @@ class DeviceSQP:
         x0_f (B, n) f32; lanes (B, Tm) int32.  Returns (Hq int8, g_pre
         int32, hs_num int32, hs_den int32) with Tp == Tm (no padding: the
         packing constraint already makes Tm a multiple of 4).
+
+        The f32 reduction outputs (Ht, g, lip) pass through
+        ``optimization_barrier`` before quantization, and the quantized
+        operands through another before the inner consumes them: without
+        the barriers XLA compiles the condensation differently around a
+        Pallas inner (custom call) than around the XLA fori_loop inner --
+        different fusion/reduction tiling, last-ulp f32 deltas -- and
+        quantization ties land on adjacent roundings (measured 80/4096
+        problems at the headline config before the fix,
+        exp_fused_pgd_diff.py).  The barriers pin the reduction subgraph's
+        boundary so both inner paths quantize bit-identical operands.
         """
         Ht, g = self._condense_ht(x0_f, lanes)
-        lip = self._lipschitz_phase(Ht)
-        return self._quantize_phase(Ht, g, lip)
+        Ht, g = jax.lax.optimization_barrier((Ht, g))
+        lip = jax.lax.optimization_barrier(self._lipschitz_phase(Ht))
+        return jax.lax.optimization_barrier(
+            self._quantize_phase(Ht, g, lip)
+        )
 
     def _condense_ht(self, x0_f: Array, lanes: Array):
         """Condensed (Ht (Tm,Tm,B), g (B,Tm)) via the configured
@@ -452,13 +492,40 @@ class DeviceSQP:
         Ht, g = self._condense_ht(x0_f, lanes)
         return jnp.transpose(Ht, (2, 0, 1)), g
 
+    def _g_pre_from(self, g: Array, alpha: Array) -> Array:
+        """int32 pre-shift linear term from f32 g (B, Tm) and the per-
+        problem step alpha.  Mirrors the host path's corrupted-input
+        guard (QuantizedQP.g_lane_fixed): non-finite linear terms
+        saturate / zero instead of tracing NaN into the int32
+        conversion."""
+        gs = jnp.nan_to_num(
+            g * (alpha * np.float32(2.0**self.g_shift))[:, None],
+            nan=0.0, posinf=2.0**31 - 1, neginf=-(2.0**31),
+        )
+        return jnp.clip(
+            jnp.round(gs), -(2.0**31), 2.0**31 - 1
+        ).astype(jnp.int32)
+
+    def _step_rationals(self, h_scale: Array):
+        """int32 rational num/2**den ~ 1/h_scale pre-shift step (same
+        formulas as mpc.condensed.quantize, u_scale=1)."""
+        Tm = self.n_dec
+        val = h_scale * np.float32(2.0**self.g_shift)
+        num_max = np.float32((2**31 - 1) // (127 * 127 * Tm))
+        hs_den = jnp.clip(
+            jnp.floor(jnp.log2(num_max / val)), 0, 31
+        ).astype(jnp.int32)
+        hs_num = jnp.round(val * jnp.exp2(hs_den.astype(jnp.float32))).astype(
+            jnp.int32
+        )
+        return hs_num, hs_den
+
     def _quantize_phase(self, Ht: Array, g: Array, lip: Array):
         """int8 Hessian + int32 step rationals (same formulas as
         mpc.condensed.quantize, u_scale=1).  Consumes the batch-last Ht
         (Tm,Tm,B); the elementwise math is layout-invariant, and the one
         transpose to the PGD's (B,Tm,Tm) happens on the int8 result (4x
         smaller than transposing the f32 H)."""
-        Tm = self.n_dec
         alpha = 1.0 / lip                                     # (B,)
         # alpha cancels out of Hq (round(alpha H / (alpha max|H| / 127))
         # == round(127 H / max|H|)), so quantize straight from Ht: one
@@ -472,49 +539,76 @@ class DeviceSQP:
             ).astype(jnp.int8),
             (2, 0, 1),
         )
-        # mirror the host path's corrupted-input guard (QuantizedQP
-        # .g_lane_fixed): non-finite linear terms saturate / zero instead
-        # of tracing NaN into the int32 conversion
-        gs = jnp.nan_to_num(
-            g * (alpha * np.float32(2.0**self.g_shift))[:, None],
-            nan=0.0, posinf=2.0**31 - 1, neginf=-(2.0**31),
-        )
-        g_pre = jnp.clip(
-            jnp.round(gs), -(2.0**31), 2.0**31 - 1
-        ).astype(jnp.int32)
-        val = h_scale * np.float32(2.0**self.g_shift)
-        num_max = np.float32((2**31 - 1) // (127 * 127 * Tm))
-        hs_den = jnp.clip(
-            jnp.floor(jnp.log2(num_max / val)), 0, 31
-        ).astype(jnp.int32)
-        hs_num = jnp.round(val * jnp.exp2(hs_den.astype(jnp.float32))).astype(
-            jnp.int32
-        )
+        g_pre = self._g_pre_from(g, alpha)
+        hs_num, hs_den = self._step_rationals(h_scale)
         return Hq, g_pre, hs_num, hs_den
 
+    def _condense_lipq(self, x0_f: Array, lanes: Array):
+        """lipq-kernel condensation (``lipq=True`` path): f32 linearize +
+        condense, then the VMEM-resident lipschitz+quantize kernel.
+
+        Returns (hqt (Tm,Tm,B) int8 in the fused inner's orientation,
+        g_pre (B,Tm) int32, hs_num, hs_den).  The XLA inner consumes the
+        exact int8 transpose ``jnp.transpose(hqt, (2, 1, 0))``.
+        """
+        from pint_tpu.mpc.condense_fused import lipq_fused
+
+        Ht, g = self._condense_ht(x0_f, lanes)
+        Ht, g = jax.lax.optimization_barrier((Ht, g))
+        hqt, lip, h_max = lipq_fused(
+            Ht, power_iters=self.power_iters, block=self.lipq_block
+        )
+        alpha = 1.0 / lip
+        h_scale = alpha * h_max / 127.0
+        g_pre = self._g_pre_from(g, alpha)
+        hs_num, hs_den = self._step_rationals(h_scale)
+        return jax.lax.optimization_barrier((hqt, g_pre, hs_num, hs_den))
+
     # -- public API ---------------------------------------------------------------
+
+    def _auto(self, flag: "bool | None") -> bool:
+        return (
+            flag
+            if flag is not None
+            else jax.default_backend() in ("tpu", "axon")
+        )
 
     @functools.cached_property
     def _solve_jit(self):
         def solve(u_words: Array, x0_f: Array) -> Array:
-            use_fused = (
-                self.fused
-                if self.fused is not None
-                else jax.default_backend() in ("tpu", "axon")
-            )
+            use_fused = self._auto(self.fused)
+            use_lipq = self._auto(self.lipq)
             if use_fused:
-                from pint_tpu.mpc.fused_alm import pgd_fused_words
-
-                pgd = functools.partial(
-                    pgd_fused_words, block=self.fused_block
+                from pint_tpu.mpc.fused_alm import (
+                    pgd_fused_words,
+                    pgd_fused_words_pre,
                 )
-            else:
-                pgd = _pgd_batched_h
 
             def outer(_, words):
                 lanes = unpack_controls(words)[:, : self.n_dec]
+                if use_lipq:
+                    hqt, g_pre, hs_num, hs_den = self._condense_lipq(
+                        x0_f, lanes
+                    )
+                    if use_fused:
+                        return pgd_fused_words_pre(
+                            words, g_pre, hqt, hs_num, hs_den,
+                            iters=self.pgd_iters, g_shift=self.g_shift,
+                            block=self.fused_block,
+                        )
+                    Hq = jnp.transpose(hqt, (2, 1, 0))
+                    return _pgd_batched_h(
+                        words, g_pre, Hq, hs_num, hs_den,
+                        iters=self.pgd_iters, g_shift=self.g_shift,
+                    )
                 Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
-                return pgd(
+                if use_fused:
+                    return pgd_fused_words(
+                        words, g_pre, Hq, hs_num, hs_den,
+                        iters=self.pgd_iters, g_shift=self.g_shift,
+                        block=self.fused_block,
+                    )
+                return _pgd_batched_h(
                     words, g_pre, Hq, hs_num, hs_den,
                     iters=self.pgd_iters, g_shift=self.g_shift,
                 )
@@ -541,10 +635,15 @@ class DeviceSQP:
         outer iteration one int32 all_gather rebuilds the full lane plan
         for the rollout, and the f32 condensation runs tp-replicated (its
         inputs are identical on every tp rank, so its outputs are too).
-        Bit-identical to :meth:`solve_words` on every mesh shape
-        (tests/test_device_sqp.py).  Hold onto the returned callable: a
-        fresh program is built per call (DeviceSQP carries ndarray fields,
-        so it can't memoize per-mesh programs on itself).
+        On dp-major meshes (tp == 1) the inner honors ``fused``: each
+        shard's solves are independent, so the VMEM-resident Pallas
+        kernel runs per shard and a multi-chip deployment gets the same
+        per-chip rate as :meth:`solve_words` (fused-sharded bit-identity:
+        tests/test_fused_alm.py).  Bit-identical to :meth:`solve_words`
+        on every mesh shape (tests/test_device_sqp.py).  Hold onto the
+        returned callable: a fresh program is built per call (DeviceSQP
+        carries ndarray fields, so it can't memoize per-mesh programs on
+        itself).
         """
         from jax.sharding import PartitionSpec as P
 
@@ -555,6 +654,22 @@ class DeviceSQP:
                 f"words across tp={tp}"
             )
         block = self.n_dec // tp
+        use_fused = self._auto(self.fused)
+        use_lipq = self._auto(self.lipq)
+        if tp == 1 and use_fused:
+            from pint_tpu.mpc.fused_alm import (
+                pgd_fused_words,
+                pgd_fused_words_pre,
+            )
+
+            pgd_full = functools.partial(
+                pgd_fused_words, block=self.fused_block
+            )
+            pgd_full_pre = functools.partial(
+                pgd_fused_words_pre, block=self.fused_block
+            )
+        else:
+            pgd_full = pgd_full_pre = None
 
         def local(u_words: Array, x0_f: Array) -> Array:
             r = jax.lax.axis_index("tp")
@@ -568,7 +683,25 @@ class DeviceSQP:
                 lanes = jax.lax.all_gather(
                     lanes_r, "tp", axis=1, tiled=True
                 )  # (B_loc, Tm): exact int32 plan, tp-replicated
-                Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
+                if use_lipq:
+                    hqt, g_pre, hs_num, hs_den = self._condense_lipq(
+                        x0_f, lanes
+                    )
+                    if pgd_full_pre is not None:
+                        return pgd_full_pre(
+                            words, g_pre, hqt, hs_num, hs_den,
+                            iters=self.pgd_iters, g_shift=self.g_shift,
+                        )
+                    Hq = jnp.transpose(hqt, (2, 1, 0))
+                else:
+                    Hq, g_pre, hs_num, hs_den = self._condense_dev(
+                        x0_f, lanes
+                    )
+                    if pgd_full is not None:  # tp == 1: whole-column inner
+                        return pgd_full(
+                            words, g_pre, Hq, hs_num, hs_den,
+                            iters=self.pgd_iters, g_shift=self.g_shift,
+                        )
                 g_r = jax.lax.dynamic_slice_in_dim(
                     g_pre, r * block, block, axis=1
                 )
@@ -585,6 +718,13 @@ class DeviceSQP:
             mesh=mesh,
             in_specs=(P("dp", "tp"), P("dp", None)),
             out_specs=P("dp", "tp"),
+            # Pallas kernels don't participate in varying-manual-axes
+            # tracking (values computed inside a kernel lose their vma
+            # tags, so kernel-internal loop carries can never type-check;
+            # JAX's own error says to pass check_vma=False) -- disable
+            # the static check when any kernel runs in the shard body,
+            # keeping it as a safety net for the pure-XLA column path
+            check_vma=pgd_full is None and not use_lipq,
         )
         return jax.jit(
             lambda u, x0: fn(u, jnp.asarray(x0, jnp.float32))

@@ -47,7 +47,20 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 
 Array = jax.Array
 
-__all__ = ["alm_fused_words", "alm_shared_fused_words", "pgd_fused_words"]
+__all__ = ["alm_fused_words", "alm_fused_words_pre",
+           "alm_shared_fused_words", "pgd_fused_words",
+           "pgd_fused_words_pre"]
+
+
+def _out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct whose varying-mesh-axes (vma) tag is the union of
+    the operands': inside ``shard_map`` (the dp-sharded production path)
+    ``pallas_call`` outputs must declare how they vary across mesh axes,
+    and outside it the union is the empty set, matching the default."""
+    vma = frozenset()
+    for o in operands:
+        vma |= getattr(jax.typeof(o), "vma", frozenset()) or frozenset()
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _shared_kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift,
@@ -162,7 +175,9 @@ def alm_shared_fused_words(
         interpret = jax.default_backend() not in ("tpu", "axon")
     B, Tp = g_pre.shape
     Cp = c_off.shape[1]
-    br = block_rows
+    # clamp the block to the 128-row-padded batch: a B=64 call must not
+    # run the whole outer x inners loop on 1024 zero-padded rows
+    br = min(block_rows, -(-B // 128) * 128)
     rows = -(-B // br) * br
     pad = rows - B
 
@@ -187,8 +202,8 @@ def alm_shared_fused_words(
         out_lanes, out_lam = pl.pallas_call(
             kern,
             out_shape=(
-                jax.ShapeDtypeStruct((rows, Tp), jnp.int32),
-                jax.ShapeDtypeStruct((rows, Cp), jnp.int32),
+                _out_struct((rows, Tp), jnp.int32, lanes, g_pre, lam0),
+                _out_struct((rows, Cp), jnp.int32, lanes, g_pre, lam0),
             ),
             grid=(rows // br,),
             in_specs=[
@@ -301,6 +316,64 @@ def _pgd_kernel_factory(Tp, iters, g_shift):
     return kernel
 
 
+def _pgd_fused_core(
+    lanes: Array,     # (B, Tp) int32
+    g_pre: Array,     # (B, Tp) int32
+    hqt: Array,       # (Tp, Tp, B) int8, kernel orientation
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,
+    *,
+    iters: int,
+    g_shift: int,
+    block: int,
+    interpret: Optional[bool],
+) -> Array:
+    """Shared body of :func:`pgd_fused_words` / :func:`pgd_fused_words_pre`:
+    batch-last padding + the pallas_call.  Returns packed words (B, Tp/4)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, Tp = g_pre.shape
+    # batch is the trailing (128-lane) dim: clamp the block so small
+    # batches don't iterate over mostly zero-padded lanes
+    block = min(block, -(-B // 128) * 128)
+    rows = -(-B // block) * block
+    pad = rows - B
+
+    def bl(x):
+        xt = jnp.moveaxis(x, 0, -1)
+        if pad:
+            xt = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(0, pad)])
+        return xt
+
+    sc = jnp.stack([hs_num, hs_den], 0)                # (2, B)
+    sc_t = jnp.pad(sc, ((0, 0), (0, pad))) if pad else sc
+    if pad:
+        hqt = jnp.pad(hqt, ((0, 0), (0, 0), (0, pad)))
+    args = (bl(lanes), bl(g_pre), hqt, sc_t)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (block,),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = _pgd_kernel_factory(Tp, iters, g_shift)
+    with jax.enable_x64(False):
+        out_lanes = pl.pallas_call(
+            kern,
+            out_shape=_out_struct(
+                (Tp, rows), jnp.int32, lanes, g_pre, hqt, hs_num, hs_den
+            ),
+            grid=(rows // block,),
+            in_specs=[spec(Tp), spec(Tp), spec(Tp, Tp), spec(2)],
+            out_specs=spec(Tp),
+            interpret=interpret,
+        )(*args)
+    return pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
+
+
 def pgd_fused_words(
     u_words: Array,   # (B, Tp/4) uint32
     g_pre: Array,     # (B, Tp) int32
@@ -319,24 +392,83 @@ def pgd_fused_words(
     which re-streams the per-problem int8 Hessian from HBM every
     iteration in the XLA form (BASELINE.md phase attribution: within 2.4x
     of its streaming floor, bound by the whole-iteration chain)."""
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+    hqt = jnp.moveaxis(jnp.transpose(Hq, (0, 2, 1)), 0, -1)  # (k, j, B)
+    return _pgd_fused_core(
+        lanes, g_pre, hqt, hs_num, hs_den,
+        iters=iters, g_shift=g_shift, block=block, interpret=interpret,
+    )
+
+
+def pgd_fused_words_pre(
+    u_words: Array,   # (B, Tp/4) uint32
+    g_pre: Array,     # (B, Tp) int32
+    hqt: Array,       # (Tp, Tp, B) int8, already in kernel orientation
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,
+    *,
+    iters: int,
+    g_shift: int,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """:func:`pgd_fused_words` with the Hessian already batch-last in the
+    kernel orientation ``hqt[k, j, b] = Hq[b, j, k]`` -- the layout
+    :func:`pint_tpu.mpc.condense_fused.lipq_fused` emits -- skipping the
+    two 16 MB int8 transposes of the batch-first route."""
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+    return _pgd_fused_core(
+        lanes, g_pre, hqt, hs_num, hs_den,
+        iters=iters, g_shift=g_shift, block=block, interpret=interpret,
+    )
+
+
+def _alm_fused_core(
+    lanes: Array,     # (B, Tp) int32
+    g_pre: Array,     # (B, Tp) int32
+    hqt: Array,       # (Tp, Tp, B) int8, kernel orientation
+    sqj: Array,       # (Tp, Cp, B) int8
+    sqc: Array,       # (Cp, Tp, B) int8
+    c_off: Array,     # (B, Cp) int32
+    lo_pre: Array,
+    hi_pre: Array,
+    lam0: Array,      # (B, Cp) int32
+    sc: Array,        # (8, B) int32 packed rationals
+    *,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    block: int,
+    interpret: Optional[bool],
+) -> Tuple[Array, Array]:
+    """Shared body of :func:`alm_fused_words` / :func:`alm_fused_words_pre`:
+    batch-last padding + the pallas_call.  Returns (words, lam)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     B, Tp = g_pre.shape
+    Cp = c_off.shape[1]
+    # batch is the trailing (128-lane) dim: clamp the block so small
+    # batches don't iterate over mostly zero-padded lanes
+    block = min(block, -(-B // 128) * 128)
     rows = -(-B // block) * block
     pad = rows - B
 
-    lanes = unpack_controls(u_words)                   # (B, Tp) int32
-
-    def bl(x):
+    def bl(x):                                         # batch-last + pad
         xt = jnp.moveaxis(x, 0, -1)
         if pad:
             xt = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(0, pad)])
         return xt
 
-    sc = jnp.stack([hs_num, hs_den], 0)                # (2, B)
+    def pl_last(x):                                    # already batch-last
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x
+
     sc_t = jnp.pad(sc, ((0, 0), (0, pad))) if pad else sc
-    hqt = bl(jnp.transpose(Hq, (0, 2, 1)))             # (k, j, B)
-    args = (bl(lanes), bl(g_pre), hqt, sc_t)
+    args = (bl(lanes), bl(g_pre), pl_last(hqt), pl_last(sqj),
+            pl_last(sqc), bl(c_off), bl(lo_pre), bl(hi_pre), bl(lam0),
+            sc_t)
 
     def spec(*dims):
         nd = len(dims)
@@ -346,17 +478,25 @@ def pgd_fused_words(
             memory_space=pltpu.VMEM,
         )
 
-    kern = _pgd_kernel_factory(Tp, iters, g_shift)
+    kern = _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift)
     with jax.enable_x64(False):
-        out_lanes = pl.pallas_call(
+        out_lanes, out_lam = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((Tp, rows), jnp.int32),
+            out_shape=(
+                _out_struct((Tp, rows), jnp.int32, lanes, g_pre, lam0),
+                _out_struct((Cp, rows), jnp.int32, lanes, g_pre, lam0),
+            ),
             grid=(rows // block,),
-            in_specs=[spec(Tp), spec(Tp), spec(Tp, Tp), spec(2)],
-            out_specs=spec(Tp),
+            in_specs=[
+                spec(Tp), spec(Tp), spec(Tp, Tp), spec(Tp, Cp),
+                spec(Cp, Tp), spec(Cp), spec(Cp), spec(Cp), spec(Cp),
+                spec(8),
+            ],
+            out_specs=(spec(Tp), spec(Cp)),
             interpret=interpret,
         )(*args)
-    return pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
+    words = pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
+    return words, jnp.moveaxis(out_lam, -1, 0)[:B]
 
 
 def alm_fused_words(
@@ -386,54 +526,54 @@ def alm_fused_words(
 ) -> Tuple[Array, Array]:
     """Drop-in fused replacement for ``_alm_batched`` (same operands,
     same returns, bit-identical words and multipliers)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    B, Tp = g_pre.shape
-    Cp = c_off.shape[1]
-    rows = -(-B // block) * block
-    pad = rows - B
-
     lanes = unpack_controls(u_words)                   # (B, Tp) int32
-
-    def bl(x):                                         # batch-last + pad
-        xt = jnp.moveaxis(x, 0, -1)
-        if pad:
-            xt = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(0, pad)])
-        return xt
-
     sc = jnp.stack([hs_num, hs_den, cs_num, cs_den,
                     eh_num, eh_den, el_num, el_den], 0)  # (8, B)
-    sc_t = jnp.pad(sc, ((0, 0), (0, pad))) if pad else sc
-    hqt = bl(jnp.transpose(Hq, (0, 2, 1)))             # (k, j, B)
-    sqj = bl(jnp.transpose(Sq, (0, 2, 1)))             # (j, c, B)
-    sqc = bl(Sq)                                       # (c, j, B)
-    args = (bl(lanes), bl(g_pre), hqt, sqj, sqc, bl(c_off),
-            bl(lo_pre), bl(hi_pre), bl(lam0), sc_t)
+    hqt = jnp.moveaxis(jnp.transpose(Hq, (0, 2, 1)), 0, -1)  # (k, j, B)
+    sqj = jnp.moveaxis(jnp.transpose(Sq, (0, 2, 1)), 0, -1)  # (j, c, B)
+    sqc = jnp.moveaxis(Sq, 0, -1)                            # (c, j, B)
+    return _alm_fused_core(
+        lanes, g_pre, hqt, sqj, sqc, c_off, lo_pre, hi_pre, lam0, sc,
+        outer=outer, inners=inners, g_shift=g_shift, y_shift=y_shift,
+        block=block, interpret=interpret,
+    )
 
-    def spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            dims + (block,),
-            (lambda i, _nd=nd: (0,) * _nd + (i,)),
-            memory_space=pltpu.VMEM,
-        )
 
-    kern = _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift)
-    with jax.enable_x64(False):
-        out_lanes, out_lam = pl.pallas_call(
-            kern,
-            out_shape=(
-                jax.ShapeDtypeStruct((Tp, rows), jnp.int32),
-                jax.ShapeDtypeStruct((Cp, rows), jnp.int32),
-            ),
-            grid=(rows // block,),
-            in_specs=[
-                spec(Tp), spec(Tp), spec(Tp, Tp), spec(Tp, Cp),
-                spec(Cp, Tp), spec(Cp), spec(Cp), spec(Cp), spec(Cp),
-                spec(8),
-            ],
-            out_specs=(spec(Tp), spec(Cp)),
-            interpret=interpret,
-        )(*args)
-    words = pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
-    return words, jnp.moveaxis(out_lam, -1, 0)[:B]
+def alm_fused_words_pre(
+    u_words: Array,   # (B, Tp/4) uint32
+    g_pre: Array,     # (B, Tp) int32
+    hqt: Array,       # (Tp, Tp, B) int8, kernel orientation
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,
+    sqj: Array,       # (Tp, Cp, B) int8
+    sqc: Array,       # (Cp, Tp, B) int8
+    cs_num: Array,
+    cs_den: Array,
+    c_off: Array,     # (B, Cp) int32
+    lo_pre: Array,
+    hi_pre: Array,
+    eh_num: Array,
+    eh_den: Array,
+    el_num: Array,
+    el_den: Array,
+    lam0: Array,      # (B, Cp) int32
+    *,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """:func:`alm_fused_words` with the int8 matrices already batch-last
+    in kernel orientation (``hqt`` from :func:`pint_tpu.mpc.
+    condense_fused.lipq_fused`, ``sqj``/``sqc`` from ``pen_fused``) --
+    skipping every XLA-side int8 transpose on the hot path."""
+    lanes = unpack_controls(u_words)                   # (B, Tp) int32
+    sc = jnp.stack([hs_num, hs_den, cs_num, cs_den,
+                    eh_num, eh_den, el_num, el_den], 0)  # (8, B)
+    return _alm_fused_core(
+        lanes, g_pre, hqt, sqj, sqc, c_off, lo_pre, hi_pre, lam0, sc,
+        outer=outer, inners=inners, g_shift=g_shift, y_shift=y_shift,
+        block=block, interpret=interpret,
+    )

@@ -151,14 +151,22 @@ class NativeOps:
 
     # -- ops ----------------------------------------------------------------
 
+    @property
+    def _lane_dtype(self):
+        """int32 lane buffers below 64-bit words, int64 for u64 (lane
+        values up to 64 bits; pint.hpp ctor/get work at every Integer
+        width, pint.hpp:768-774, 799-822)."""
+        return np.int64 if self.layout.word_bits == 64 else np.int32
+
     def pack(self, lanes: np.ndarray) -> np.ndarray:
-        """(..., n_lanes) int32 -> (...) uint32 words (u32 layouts only)."""
-        if self.layout.word_bits != 32:
-            raise NotImplementedError("native pack is u32-only")
-        lanes = np.ascontiguousarray(lanes, dtype=np.int32)
+        """(..., n_lanes) int lanes -> (...) packed words, at every word
+        width u8/u16/u32/u64 (truncating ctor semantics,
+        pint.hpp:770-774)."""
+        lanes = np.ascontiguousarray(lanes, dtype=self._lane_dtype)
         n_words = lanes.size // self.layout.num_lanes
-        out = np.empty(lanes.shape[:-1], dtype=np.uint32)
-        self._lib.pint_pack_u32(
+        out = np.empty(lanes.shape[:-1], dtype=self.layout.word_dtype)
+        fn = getattr(self._lib, f"pint_pack_{self._sfx}")
+        fn(
             ctypes.byref(self._desc),
             self._widths,
             self.layout.num_lanes,
@@ -169,14 +177,17 @@ class NativeOps:
         return out
 
     def unpack(self, words: np.ndarray, signed: bool = False) -> np.ndarray:
-        if self.layout.word_bits != 32:
-            raise NotImplementedError("native unpack is u32-only")
+        """(...) packed words -> (..., n_lanes) lanes, every word width;
+        ``signed`` sign-extends each lane (get_signed, pint.hpp:809-822)."""
         words = self._words(words)
-        out = np.empty(words.shape + (self.layout.num_lanes,), dtype=np.int32)
-        fn = (
-            self._lib.pint_unpack_signed_u32
+        out = np.empty(
+            words.shape + (self.layout.num_lanes,), dtype=self._lane_dtype
+        )
+        fn = getattr(
+            self._lib,
+            f"pint_unpack_signed_{self._sfx}"
             if signed
-            else self._lib.pint_unpack_u32
+            else f"pint_unpack_{self._sfx}",
         )
         fn(
             ctypes.byref(self._desc),

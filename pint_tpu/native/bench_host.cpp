@@ -116,9 +116,6 @@ inline uint32_t naive_add_sclamp(const CW<N>& c, uint32_t a, uint32_t b) {
     const uint32_t m = (1u << w) - 1u;
     const int32_t lo = -(1 << (w - 1)), hi = (1 << (w - 1)) - 1;
     // sign-extend each field, add, clamp
-    const int32_t av =
-        (int32_t)((a >> c.off[i]) << (32 - w - 0)) >> 0;  // placeholder
-    (void)av;
     const int32_t ax = (int32_t)(((a >> c.off[i]) & m) << (32 - w)) >> (32 - w);
     const int32_t bx = (int32_t)(((b >> c.off[i]) & m) << (32 - w)) >> (32 - w);
     const int32_t s = std::min(std::max(ax + bx, lo), hi);

@@ -390,46 +390,72 @@ PINT_SHIFT(shift_right_unsigned, false)
 // lanes layout: lanes-last contiguous int32 per lane; used by the host data
 // pipeline to stage packed control buffers
 
-void pint_pack_u32(const Layout* l, const int* widths, int n_lanes,
-                   const int32_t* lanes, uint32_t* words, size_t n_words) {
+}  // extern "C" (pause: templates need C++ linkage)
+
+template <class T, class L>
+inline void pack_impl(const int* widths, int n_lanes, const L* lanes,
+                      T* words, size_t n_words) {
   for (size_t i = 0; i < n_words; ++i) {
-    uint32_t w = 0;
+    uint64_t w = 0;
     int off = 0;
     for (int j = 0; j < n_lanes; ++j) {
-      const uint32_t ones = (widths[j] >= 32) ? ~0u : ((1u << widths[j]) - 1u);
-      w |= (static_cast<uint32_t>(lanes[i * n_lanes + j]) & ones) << off;
+      const uint64_t ones =
+          (widths[j] >= 64) ? ~0ull : ((1ull << widths[j]) - 1ull);
+      w |= (static_cast<uint64_t>(lanes[i * n_lanes + j]) & ones) << off;
       off += widths[j];
     }
-    words[i] = w;
+    words[i] = static_cast<T>(w);
   }
 }
 
-void pint_unpack_signed_u32(const Layout* l, const int* widths, int n_lanes,
-                            const uint32_t* words, int32_t* lanes,
-                            size_t n_words) {
+template <class T, class L>
+inline void unpack_impl(const int* widths, int n_lanes, const T* words,
+                        L* lanes, size_t n_words, bool sign) {
   for (size_t i = 0; i < n_words; ++i) {
+    const uint64_t word = static_cast<uint64_t>(words[i]);
     int off = 0;
     for (int j = 0; j < n_lanes; ++j) {
       const int w = widths[j];
-      const uint32_t up = static_cast<uint32_t>(32 - (off + w));
-      lanes[i * n_lanes + j] =
-          static_cast<int32_t>(words[i] << up) >> (32 - w);
+      if (sign) {
+        // sign-extend in 64-bit space regardless of word size
+        lanes[i * n_lanes + j] = static_cast<L>(
+            static_cast<int64_t>(word << (64 - off - w)) >> (64 - w));
+      } else {
+        const uint64_t ones = (w >= 64) ? ~0ull : ((1ull << w) - 1ull);
+        lanes[i * n_lanes + j] = static_cast<L>((word >> off) & ones);
+      }
       off += w;
     }
   }
 }
 
-void pint_unpack_u32(const Layout* l, const int* widths, int n_lanes,
-                     const uint32_t* words, int32_t* lanes, size_t n_words) {
-  for (size_t i = 0; i < n_words; ++i) {
-    int off = 0;
-    for (int j = 0; j < n_lanes; ++j) {
-      const uint32_t ones = (widths[j] >= 32) ? ~0u : ((1u << widths[j]) - 1u);
-      lanes[i * n_lanes + j] = static_cast<int32_t>((words[i] >> off) & ones);
-      off += widths[j];
-    }
+extern "C" {
+
+// pint.hpp ctor/get work at every Integer width (pint.hpp:768-774,
+// 799-822); the buffer entry points mirror that: one symbol per word
+// size, int32 lane buffers below 64-bit words, int64 lanes for u64.
+#define PINT_PACK_FAMILY(sfx, T, L)                                          \
+  void pint_pack_##sfx(const Layout* l, const int* widths, int n_lanes,      \
+                       const L* lanes, T* words, size_t n_words) {           \
+    (void)l;                                                                 \
+    pack_impl<T, L>(widths, n_lanes, lanes, words, n_words);                 \
+  }                                                                          \
+  void pint_unpack_##sfx(const Layout* l, const int* widths, int n_lanes,    \
+                         const T* words, L* lanes, size_t n_words) {         \
+    (void)l;                                                                 \
+    unpack_impl<T, L>(widths, n_lanes, words, lanes, n_words, false);        \
+  }                                                                          \
+  void pint_unpack_signed_##sfx(const Layout* l, const int* widths,          \
+                                int n_lanes, const T* words, L* lanes,       \
+                                size_t n_words) {                            \
+    (void)l;                                                                 \
+    unpack_impl<T, L>(widths, n_lanes, words, lanes, n_words, true);         \
   }
-}
+
+PINT_PACK_FAMILY(u8, uint8_t, int32_t)
+PINT_PACK_FAMILY(u16, uint16_t, int32_t)
+PINT_PACK_FAMILY(u32, uint32_t, int32_t)
+PINT_PACK_FAMILY(u64, uint64_t, int64_t)
 
 int pint_layout_sizeof() { return static_cast<int>(sizeof(Layout)); }
 

@@ -218,7 +218,6 @@ def test_device_deterministic():
 def test_device_dp_sharded_bit_identical(dp):
     """Pure-integer solver: shard_map over a dp mesh reproduces the
     single-device packed words exactly on every mesh shape."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     _, _, solver = _device_setup(outer=6, inners=25)
@@ -230,7 +229,7 @@ def test_device_dp_sharded_bit_identical(dp):
     w1, l1 = jax.jit(solver.solve_words)(u0, g, co)
 
     mesh = Mesh(np.array(jax.devices()[:dp]), ("dp",))
-    fn = shard_map(
+    fn = jax.shard_map(
         solver.solve_words,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp")),

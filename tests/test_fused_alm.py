@@ -182,14 +182,136 @@ def test_shared_fused_lti_bit_identical(block_rows):
     assert jnp.array_equal(l0, l1)
 
 
-def test_auto_default_is_backend_gated():
+def test_auto_default_is_backend_gated(monkeypatch):
     """fused=None must resolve to the XLA path off-TPU (no interpret-mode
-    kernel in production CPU use) -- identical results either way, so
-    only the execution path is at stake."""
-    devc = _mk()  # fused=None
+    kernel in production CPU use) and to the Pallas kernel on TPU
+    backends.  The execution path is observed directly: both inner entry
+    points are wrapped with call recorders, and ``jax.default_backend``
+    is monkeypatched to simulate the TPU case (the kernel still runs in
+    interpret mode, forced by the spy, so results stay comparable)."""
+    import pint_tpu.mpc.device_constrained as dc
+    import pint_tpu.mpc.fused_alm as fa
+
+    calls = []
+    real_fused = fa.alm_fused_words
+    real_xla = dc._alm_batched
+
+    def spy_fused(*a, **k):
+        calls.append("fused")
+        k["interpret"] = True
+        return real_fused(*a, **k)
+
+    def spy_xla(*a, **k):
+        calls.append("xla")
+        return real_xla(*a, **k)
+
+    monkeypatch.setattr(fa, "alm_fused_words", spy_fused)
+    monkeypatch.setattr(dc, "_alm_batched", spy_xla)
+
     B = 2
     x0 = np.array([[0.0, 0.0, 1.0]] * B, np.float32)
+    devc = _mk()  # fused=None, cpu backend -> XLA inner
     w_auto, l_auto = devc.solve_words(devc.init_words(B), x0)
-    w_xla, l_xla = _mk(fused=False).solve_words(devc.init_words(B), x0)
-    assert jnp.array_equal(w_auto, w_xla)
-    assert jnp.array_equal(l_auto, l_xla)
+    assert "xla" in calls and "fused" not in calls
+
+    calls.clear()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    devc_tpu = _mk()  # fresh instance: fused=None now selects the kernel
+    w_f, l_f = devc_tpu.solve_words(devc_tpu.init_words(B), x0)
+    assert "fused" in calls and "xla" not in calls
+    assert jnp.array_equal(w_auto, w_f)
+    assert jnp.array_equal(l_auto, l_f)
+
+
+def _mesh(dp, tp):
+    from pint_tpu.parallel import make_mesh
+
+    return make_mesh(dp=dp, tp=tp)
+
+
+def test_sharded_fused_device_sqp_bit_identical():
+    """The fused PGD inner inside shard_map (dp-major mesh) reproduces the
+    single-device fused solve word for word -- the VERDICT round-3 gap:
+    production dp meshes must keep the fused per-chip rate."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(horizon=8, sqp_iters=2, pgd_iters=6,
+              x_ref=np.array([1.0, 0.0, 0.0]))
+    dev = DeviceSQP(**kw, fused=True, fused_block=8)
+    B = 16
+    rng = np.random.default_rng(17)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32)
+    u0 = dev.init_words(B)
+    w_single = dev.solve_words(u0, x0)
+
+    mesh = _mesh(8, 1)
+    solve = dev.sharded_solve_words(mesh)
+    xj = jax.device_put(jnp.asarray(x0), NamedSharding(mesh, P("dp", None)))
+    uj = jax.device_put(u0, NamedSharding(mesh, P("dp", "tp")))
+    w_sh = solve(uj, xj)
+    assert jnp.array_equal(w_single, w_sh)
+
+
+def test_sharded_fused_constrained_bit_identical():
+    """The fused ALM inner inside shard_map (dp-major mesh) reproduces the
+    single-device fused constrained solve exactly (words AND
+    multipliers)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devc = _mk(fused=True, fused_block=8)
+    B = 16
+    rng = np.random.default_rng(19)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(-np.pi, np.pi, B)], axis=-1).astype(np.float32)
+    u0 = devc.init_words(B)
+    w_single, l_single = devc.solve_words(u0, x0)
+
+    mesh = _mesh(8, 1)
+    solve = devc.sharded_solve_words(mesh)
+    row = NamedSharding(mesh, P("dp", None))
+    xj = jax.device_put(jnp.asarray(x0), row)
+    uj = jax.device_put(u0, NamedSharding(mesh, P("dp", "tp")))
+    lj = jax.device_put(devc.init_lam(B), row)
+    w_sh, l_sh = solve(uj, xj, lj)
+    assert jnp.array_equal(w_single, w_sh)
+    assert jnp.array_equal(l_single, l_sh)
+
+
+def test_sharded_fused_flag_ignored_on_tp_meshes(monkeypatch):
+    """fused=True on a tp>1 mesh must keep the XLA column path (the
+    per-iteration psums cannot live inside one kernel) and still match
+    the single-device solve bit for bit."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import pint_tpu.mpc.fused_alm as fa
+
+    def boom(*a, **k):
+        raise AssertionError("fused inner must not run on tp>1 meshes")
+
+    monkeypatch.setattr(fa, "alm_fused_words", boom)
+    monkeypatch.setattr(fa, "pgd_fused_words", boom)
+
+    devc = _mk(fused=True, fused_block=8)
+    B = 8
+    rng = np.random.default_rng(23)
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(-np.pi, np.pi, B)], axis=-1).astype(np.float32)
+    u0 = devc.init_words(B)
+    w_single, l_single = _mk(fused=False).solve_words(u0, x0)
+
+    mesh = _mesh(2, 4)
+    solve = devc.sharded_solve_words(mesh)
+    row = NamedSharding(mesh, P("dp", None))
+    xj = jax.device_put(jnp.asarray(x0), row)
+    uj = jax.device_put(u0, NamedSharding(mesh, P("dp", "tp")))
+    lj = jax.device_put(devc.init_lam(B), row)
+    w_sh, l_sh = solve(uj, xj, lj)
+    assert jnp.array_equal(w_single, w_sh)
+    assert jnp.array_equal(l_single, l_sh)
