@@ -255,6 +255,43 @@ def main() -> None:
     check("fused shared-ALM kernel == XLA loop",
           bool(jnp.all(wx8 == wf8)) and bool(jnp.all(lx8 == lf8)))
 
+    # 8. lipq/pen condensation kernels (mpc/condense_fused.py), natively
+    # compiled: quantization must be elementwise-exact given the
+    # kernel's own scales, and with lipq the FULL fused-vs-XLA solves
+    # must be bit-identical (the round-4 determinism contract,
+    # EXP_R4.json)
+    from pint_tpu.mpc.condense_fused import lipq_fused
+
+    Ht9, _ = jax.jit(d7._condense_ht)(x07, lanes7)
+    hqt9, lip9, hmax9 = jax.jit(lambda H: lipq_fused(
+        H, power_iters=d7.power_iters, block=128, interpret=False))(Ht9)
+    exp9 = jnp.clip(
+        jnp.round(jnp.swapaxes(Ht9, 0, 1)
+                  * (127.0 / hmax9)[None, None, :]),
+        -127, 127).astype(jnp.int8)
+    check("lipq kernel int8 quantization exact",
+          bool(jnp.all(hqt9 == exp9)))
+    d9f = DeviceSQP(horizon=8, sqp_iters=2, pgd_iters=6,
+                    x_ref=np.array([1.0, 0.0, 0.0]),
+                    lipq=True, fused=True)
+    d9x = DeviceSQP(horizon=8, sqp_iters=2, pgd_iters=6,
+                    x_ref=np.array([1.0, 0.0, 0.0]),
+                    lipq=True, fused=False)
+    w9f = d9f.solve_words(u07, x07)
+    w9x = d9x.solve_words(u07, x07)
+    check("lipq full solve: fused == XLA inner",
+          bool(jnp.all(w9f == w9x)))
+    dc9f = DeviceConstrainedSQP(
+        d7, F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0,
+        alm_outer=2, lipq=True, fused=True)
+    dc9x = DeviceConstrainedSQP(
+        d7, F=[[0.0, 1.0, 0.0]], lo=-0.03, hi=0.03, rho=100.0,
+        alm_outer=2, lipq=True, fused=False)
+    cw9f, cl9f = dc9f.solve_words(u07, x07)
+    cw9x, cl9x = dc9x.solve_words(u07, x07)
+    check("constrained lipq full solve: fused == XLA inner",
+          bool(jnp.all(cw9f == cw9x)) and bool(jnp.all(cl9f == cl9x)))
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
