@@ -409,9 +409,52 @@ def bench_device_sqp_phases(overhead, batch=4096):
     )
     out["pgd_s_per_outer"] = batch / pg
 
+    # -- the TPU-default path (fused inner + lipq kernel) --------------------
+    from pint_tpu.mpc.condense_fused import lipq_fused
+    from pint_tpu.mpc.fused_alm import pgd_fused_words
+
+    dev_d = DeviceSQP(
+        horizon=32, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
+        qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
+        fused=True, lipq=True,
+    )
+    fl = _timed_rate(
+        "sqp_phase_full_default", batch,
+        lambda w, x: dev_d._solve_jit(w, x), u0, x0j,
+        inner=32, reps=5, overhead=overhead,
+    )
+    out["full_default_s_per_batch"] = batch / fl
+
+    def lipq_step(H):
+        hqt, lip, hmax = lipq_fused(H, power_iters=dev.power_iters,
+                                    block=dev.lipq_block)
+        return H + lip[None, None, :] * jnp.float32(1e-20) + (
+            hqt[0, :1].astype(jnp.float32) * jnp.float32(1e-20))
+
+    lq = _timed_rate(
+        "sqp_phase_lipq", H_real.shape[-1], lipq_step, H_real,
+        inner=64, reps=5, overhead=overhead,
+    )
+    out["lipq_s_per_outer"] = batch / lq
+
+    fp = _timed_rate(
+        "sqp_phase_pgd_fused", batch,
+        lambda w: pgd_fused_words(
+            w, g_pre, Hq, hs_num, hs_den,
+            iters=dev.pgd_iters, g_shift=dev.g_shift,
+            block=dev.fused_block,
+        ),
+        u0, inner=64, reps=5, overhead=overhead,
+    )
+    out["pgd_fused_s_per_outer"] = batch / fp
+
     # derived attribution
     per_outer = out["full_s_per_batch"] / dev.sqp_iters
     out["per_outer_s"] = per_outer
+    out["per_outer_default_s"] = (
+        out["full_default_s_per_batch"] / dev.sqp_iters
+    )
     out["phase_shares_of_outer"] = {
         "rollout_linearize": out["rollout_linearize_s_per_outer"] / per_outer,
         "hg_assembly_extra": (

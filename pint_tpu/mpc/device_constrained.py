@@ -210,8 +210,16 @@ class DeviceConstrainedSQP:
         C, Cp = self.n_rows, self.padded_rows
 
         A_seq, B_lane, c_seq = d._linearize_phase(x0_f, lanes)
-        Abar, Bbar_all, Cbar = d._propagate_scan(A_seq, B_lane, c_seq)
-        Ht, g = d._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
+        prop = (
+            d._propagate_unrolled
+            if d.propagate == "unroll"
+            else d._propagate_scan
+        )
+        Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
+        red = (
+            d._reduce_blocked if d.reduce == "blocked" else d._reduce_phase
+        )
+        Ht, g = red(Abar, Bbar_all, Cbar, x0_f)
         S_t, P_t, r_t = self._stack_constraints(Abar, Bbar_all, Cbar)
         # pin every f32 reduction output before anything rounds on it:
         # without the barrier XLA compiles these differently around a

@@ -118,6 +118,15 @@ class DeviceSQP:
     tiny-contraction (K=n) einsums and (B,T,m,T,m) intermediates lower
     poorly.  Both paths agree to f32 roundoff and stay bit-identical end
     to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
+    reduce: str = "einsum"
+    """Condensed-Hessian contraction form: "einsum" (the default two-
+    einsum BQ/Ht path) or "blocked" (2x2 block-triangular + symmetric
+    mirror: Bbar[k]'s columns beyond (k+1)*m are structurally zero, so
+    the upper-right and lower-right blocks contract over k >= T/2 only
+    -- ~2x fewer MXU FLOPs on the dominant einsum -- and the lower-left
+    block is the exact int-free transpose copy of the upper-right,
+    making H exactly symmetric).  Agreement is f32-roundoff-level
+    (tests/test_device_sqp.py::test_reduce_blocked_agrees)."""
     fused: "bool | None" = None
     """Run the PGD inner as the VMEM-resident Pallas kernel
     (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
@@ -168,10 +177,15 @@ class DeviceSQP:
         return self.qf_scale * np.asarray(self.Q, float)
 
     def __post_init__(self):
-        if self.propagate not in ("allpairs", "scan"):
+        if self.propagate not in ("allpairs", "scan", "unroll"):
             raise ValueError(
-                f"propagate must be 'allpairs' or 'scan', got "
+                f"propagate must be 'allpairs', 'scan' or 'unroll', got "
                 f"{self.propagate!r}"
+            )
+        if self.reduce not in ("einsum", "blocked"):
+            raise ValueError(
+                f"reduce must be 'einsum' or 'blocked', got "
+                f"{self.reduce!r}"
             )
         if self.n_dec % 4:
             raise ValueError(
@@ -382,6 +396,42 @@ class DeviceSQP:
         # stacked time-first, batch-last: (T, n, ..., B)
         return Abar, Bbar_all, Cbar
 
+    def _propagate_unrolled(self, A_seq: Array, B_lane: Array,
+                            c_seq: Array):
+        """``propagate="unroll"``: the same recursion as
+        :meth:`_propagate_scan` as a fully unrolled python loop with
+        static slice injection.
+
+        Skips the materialized (T, n, Tm, B) injection tensor entirely
+        (a ~100 MB write + read of mostly zeros at the headline config):
+        step k's control block enters via a static ``.at[:, k*m:(k+1)*m]
+        .add`` instead.  Same stacks, f32-roundoff-identical
+        (tests/test_device_sqp.py::test_propagate_unroll_agrees).
+        Compile time grows with T (straight-line T-step chain); the scan
+        stays the default until the on-chip comparison says otherwise.
+        """
+        T, m = self.horizon, self.n_ctrl
+        Tm = self.n_dec
+        n = A_seq.shape[-1]
+        At = jnp.transpose(A_seq, (1, 2, 3, 0))             # (T,n,n,B)
+        Bt = jnp.transpose(B_lane, (1, 2, 3, 0))            # (T,n,m,B)
+        ct = jnp.transpose(c_seq, (1, 2, 0))                # (T,n,B)
+        zero_b = (At[0, 0, 0] * 0.0).astype(jnp.float32)    # (B,)
+        P = jnp.eye(n, dtype=jnp.float32)[:, :, None] + zero_b
+        S = jnp.zeros((n, Tm, 1), jnp.float32) + zero_b
+        c = jnp.zeros((n, 1), jnp.float32) + zero_b
+        Ps, Ss, cs = [], [], []
+        for k in range(T):
+            Ak = At[k]
+            P = jnp.sum(Ak[:, :, None, :] * P[None, :, :, :], axis=1)
+            S = jnp.sum(Ak[:, :, None, :] * S[None, :, :, :], axis=1)
+            S = S.at[:, k * m : (k + 1) * m, :].add(Bt[k])
+            c = jnp.sum(Ak * c[None, :, :], axis=1) + ct[k]
+            Ps.append(P)
+            Ss.append(S)
+            cs.append(c)
+        return jnp.stack(Ps), jnp.stack(Ss), jnp.stack(cs)
+
     def _reduce_phase(
         self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
     ):
@@ -418,6 +468,57 @@ class DeviceSQP:
         Ht = jnp.einsum("kjnb,kjmb->nmb", BQ, Bbar_all)
         Ht = Ht + jnp.einsum("jnb,jmb->nmb", BQT, BT)
         Ht = Ht + R_kron[:, :, None]
+        G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
+        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
+        g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
+        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
+        g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+        return Ht, g
+
+    def _reduce_blocked(
+        self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
+    ):
+        """``reduce="blocked"`` contraction (see the field docstring):
+        2x2 block-triangular Ht with the symmetric mirror; the linear
+        term g and the feedback matrix G reuse the einsum path's forms
+        (n-contractions, not the hot part)."""
+        T, m = self.horizon, self.n_ctrl
+        Tm = self.n_dec
+        Th = T // 2
+        h = Th * m
+        Q = jnp.asarray(self.Q, jnp.float32)
+        Qf = jnp.asarray(self._Qf, jnp.float32)
+        R_lane_np = (
+            self._lane_scales[:, None]
+            * np.asarray(self.R)
+            * self._lane_scales[None, :]
+        )
+        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
+        x_ref = np.broadcast_to(
+            np.asarray(self.x_ref, np.float64),
+            (T, np.asarray(self.Q).shape[0]),
+        )
+        x_ref = jnp.asarray(x_ref, jnp.float32)
+        Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
+
+        BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
+        BT = Bbar_all[T - 1]
+        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
+        lo = slice(0, h)
+        hi = slice(h, Tm)
+        H_ll = jnp.einsum(
+            "kjnb,kjmb->nmb", BQ[:, :, lo], Bbar_all[:, :, lo]
+        ) + jnp.einsum("jnb,jmb->nmb", BQT[:, lo], BT[:, lo])
+        H_lh = jnp.einsum(
+            "kjnb,kjmb->nmb", BQ[Th:, :, lo], Bbar_all[Th:, :, hi]
+        ) + jnp.einsum("jnb,jmb->nmb", BQT[:, lo], BT[:, hi])
+        H_hh = jnp.einsum(
+            "kjnb,kjmb->nmb", BQ[Th:, :, hi], Bbar_all[Th:, :, hi]
+        ) + jnp.einsum("jnb,jmb->nmb", BQT[:, hi], BT[:, hi])
+        top = jnp.concatenate([H_ll, H_lh], axis=1)
+        bot = jnp.concatenate([jnp.swapaxes(H_lh, 0, 1), H_hh], axis=1)
+        Ht = jnp.concatenate([top, bot], axis=0) + R_kron[:, :, None]
+
         G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
         G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
         g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
@@ -482,8 +583,18 @@ class DeviceSQP:
         if self.propagate == "allpairs":
             H, g = self._condense_allpairs(A_seq, B_lane, c_seq, x0_f)
             return jnp.transpose(H, (1, 2, 0)), g
-        Abar, Bbar_all, Cbar = self._propagate_scan(A_seq, B_lane, c_seq)
-        return self._reduce_phase(Abar, Bbar_all, Cbar, x0_f)
+        prop = (
+            self._propagate_unrolled
+            if self.propagate == "unroll"
+            else self._propagate_scan
+        )
+        Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
+        red = (
+            self._reduce_blocked
+            if self.reduce == "blocked"
+            else self._reduce_phase
+        )
+        return red(Abar, Bbar_all, Cbar, x0_f)
 
     def _condense_hg(self, x0_f: Array, lanes: Array):
         """Condensed (H (B,Tm,Tm), g (B,Tm)) via the configured

@@ -212,3 +212,75 @@ def test_device_sqp_nan_input_isolated(pair):
     w_solo, _ = dev.solve(good)
     np.testing.assert_array_equal(np.asarray(w_both)[0], np.asarray(w_solo)[0])
     assert np.asarray(w_both).dtype == np.uint32  # finite packed words
+
+
+def test_propagate_unroll_agrees(pair):
+    """The unrolled static-injection propagate reproduces the scan's
+    stacks to f32 roundoff (same recursion, no injection tensor)."""
+    import jax
+    import jax.numpy as jnp
+
+    _, dev = pair
+    rng = np.random.default_rng(11)
+    B = 8
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32))
+    lanes = jnp.asarray(
+        rng.integers(-100, 100, (B, dev.n_dec), dtype=np.int32))
+    A_seq, B_lane, c_seq = jax.jit(dev._linearize_phase)(x0, lanes)
+    As, Bs, Cs = jax.jit(dev._propagate_scan)(A_seq, B_lane, c_seq)
+    Au, Bu, Cu = jax.jit(dev._propagate_unrolled)(A_seq, B_lane, c_seq)
+    np.testing.assert_allclose(np.asarray(Au), np.asarray(As), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(Bu), np.asarray(Bs), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(Cu), np.asarray(Cs), rtol=1e-6, atol=1e-6)
+
+
+def test_reduce_blocked_agrees(pair):
+    """The 2x2 block-triangular + symmetric-mirror reduce reproduces the
+    einsum path's condensed (Ht, g) to f32 roundoff, and the full solver
+    with propagate='unroll' + reduce='blocked' matches the default
+    configuration's final true cost."""
+    import jax
+    import jax.numpy as jnp
+
+    host, dev = pair
+    rng = np.random.default_rng(13)
+    B = 8
+    x0 = np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32)
+    x0j = jnp.asarray(x0)
+    lanes = jnp.asarray(
+        rng.integers(-100, 100, (B, dev.n_dec), dtype=np.int32))
+    A_seq, B_lane, c_seq = jax.jit(dev._linearize_phase)(x0j, lanes)
+    Abar, Bbar, Cbar = jax.jit(dev._propagate_scan)(A_seq, B_lane, c_seq)
+    Ht_e, g_e = jax.jit(dev._reduce_phase)(Abar, Bbar, Cbar, x0j)
+    Ht_b, g_b = jax.jit(dev._reduce_blocked)(Abar, Bbar, Cbar, x0j)
+    scale = float(jnp.max(jnp.abs(Ht_e)))
+    assert float(jnp.max(jnp.abs(Ht_b - Ht_e))) / scale < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_e), rtol=1e-5, atol=1e-4)
+    # the off-diagonal blocks are exact transposes by construction
+    # (the mirror copy); diagonal blocks remain f32-roundoff symmetric
+    h = (dev.horizon // 2) * dev.n_ctrl
+    np.testing.assert_array_equal(
+        np.asarray(Ht_b[:h, h:]),
+        np.asarray(jnp.swapaxes(Ht_b[h:, :h], 0, 1)))
+
+    import dataclasses
+
+    dev_v = dataclasses.replace(dev, propagate="unroll", reduce="blocked")
+    u0 = dev.init_words(B)
+    w_d = dev.solve_words(u0, x0)
+    w_v = dev_v.solve_words(u0, x0)
+    c_d = host.true_cost(x0.astype(np.float64), host.lanes(w_d))
+    c_v = host.true_cost(x0.astype(np.float64), host.lanes(w_v))
+    np.testing.assert_allclose(c_v, c_d, rtol=0.01, atol=1e-4)
+
+
+def test_bad_reduce_rejected():
+    with pytest.raises(ValueError, match="reduce must be"):
+        DeviceSQP(horizon=8, reduce="bogus")
