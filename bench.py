@@ -309,8 +309,9 @@ def bench_device_sqp_phases(overhead, batch=4096):
         horizon=32, sqp_iters=4, pgd_iters=30,
         Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
         qf_scale=60.0, x_ref=np.array([0.2, 0.1, 0.0]),
-        fused=False,  # phases attribute the XLA path; the fused-kernel
-        # numbers live in BASELINE.md / exp_fused_pgd_tpu.py
+        fused=False, lipq=False,  # phases attribute the XLA path; the
+        # fused/lipq default-path numbers follow in the sqp_phase_full_
+        # default / sqp_phase_lipq / sqp_phase_pgd_fused rows below
     )
     rng = np.random.default_rng(0)
     x0 = np.stack(

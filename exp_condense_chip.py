@@ -141,11 +141,16 @@ def run_geom(T):
     jax.block_until_ready(Bbar)
 
     def t(label, fn, x0_arg, *consts, inner=32):
-        # chain via a f32 carry perturbation so reps depend on each other
+        # chain via a f32 carry perturbation; EVERY output element must
+        # feed the carry (via means) or XLA dead-code-eliminates the
+        # stage body -- the first version consumed only element [0] and
+        # measured DCE'd fragments (T50 prop_scan "0.031 ms")
         def step(xc, *cs):
             r = fn(xc, *cs)
-            leaf = jax.tree_util.tree_leaves(r)[0]
-            return xc + 0.0 * leaf.ravel()[0].astype(jnp.float32)
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(r):
+                acc = acc + jnp.mean(leaf.astype(jnp.float32))
+            return xc + acc * jnp.float32(1e-20)
         sec = time_chained(step, x0_arg, *consts, inner=inner, reps=5,
                           overhead=OVERHEAD)
         OUT[f"{tag}_{label}_ms"] = sec * 1e3
@@ -158,8 +163,8 @@ def run_geom(T):
       lambda xc, a, bl, c: dev._propagate_scan(a + 0 * xc[0, 0], bl, c),
       x0, A_seq, B_lane, c_seq)
     t("prop_unroll",
-      lambda xc, a, bl, c: propagate_unrolled(
-          dev, a + 0 * xc[0, 0], bl, c),
+      lambda xc, a, bl, c: dev._propagate_unrolled(
+          a + 0 * xc[0, 0], bl, c),
       x0, A_seq, B_lane, c_seq, inner=16)
     t("reduce_cur",
       lambda xc, ab, bb, cb: dev._reduce_phase(
@@ -170,8 +175,8 @@ def run_geom(T):
           dev, ab + 0 * xc[0, 0], bb, cb, xc),
       x0, Abar, Bbar, Cbar)
     t("reduce_blocked",
-      lambda xc, ab, bb, cb: reduce_blocked(
-          dev, ab + 0 * xc[0, 0], bb, cb, xc),
+      lambda xc, ab, bb, cb: dev._reduce_blocked(
+          ab + 0 * xc[0, 0], bb, cb, xc),
       x0, Abar, Bbar, Cbar)
 
     # numeric agreement of the variants (roundoff-level)
@@ -179,18 +184,14 @@ def run_geom(T):
     Ht_fe = jax.jit(
         lambda a, b, c, x: reduce_fusedein(dev, a, b, c, x)
     )(Abar, Bbar, Cbar, x0)
-    Ht_bl = jax.jit(
-        lambda a, b, c, x: reduce_blocked(dev, a, b, c, x)
-    )(Abar, Bbar, Cbar, x0)
+    Ht_bl, _ = jax.jit(dev._reduce_blocked)(Abar, Bbar, Cbar, x0)
     scale = float(jnp.max(jnp.abs(Ht_cur)))
     OUT[f"{tag}_fusedein_rel"] = float(
         jnp.max(jnp.abs(Ht_fe - Ht_cur)) / scale)
     OUT[f"{tag}_blocked_rel"] = float(
         jnp.max(jnp.abs(Ht_bl - Ht_cur)) / scale)
     # unrolled propagate agreement
-    Au, Bu, Cu = jax.jit(
-        lambda a, b, c: propagate_unrolled(dev, a, b, c)
-    )(A_seq, B_lane, c_seq)
+    Au, Bu, Cu = jax.jit(dev._propagate_unrolled)(A_seq, B_lane, c_seq)
     OUT[f"{tag}_unroll_rel"] = float(
         jnp.max(jnp.abs(Bu - Bbar)) / float(jnp.max(jnp.abs(Bbar))))
 
@@ -208,8 +209,34 @@ def run_geom(T):
       x0, Ht_cur, inner=16)
 
 
+def run_full(T):
+    """Full-solver rates for the variant combos at B=4096 (the decision
+    metric; phase timings above are diagnostic)."""
+    import dataclasses
+
+    base = mk(T)
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32))
+    u0 = base.init_words(B)
+    for name, kw in [
+        ("default", {}),
+        ("blocked", dict(reduce="blocked")),
+        ("unroll", dict(propagate="unroll")),
+        ("unroll_blocked", dict(propagate="unroll", reduce="blocked")),
+    ]:
+        d = dataclasses.replace(base, **kw)
+        sec = time_chained(
+            lambda w, x, dd=d: dd._solve_jit(w, x), u0, x0,
+            inner=32, reps=5, overhead=OVERHEAD)
+        OUT[f"T{T}_solver_{name}_per_s"] = B / sec
+        note(f"T{T} solver {name}: {B/sec:,.0f} solves/s")
+
+
 run_geom(32)
 run_geom(50)
+run_full(32)
+run_full(50)
 with open("EXP_CONDENSE.json", "w") as f:
     json.dump(OUT, f, indent=2)
 note("wrote EXP_CONDENSE.json")

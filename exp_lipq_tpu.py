@@ -44,7 +44,7 @@ hqt_h, lip_h, hmax_h = (np.asarray(hqt), np.asarray(lip), np.asarray(hmax))
 exp_hmax = np.asarray(jnp.max(jnp.abs(Ht), axis=(0, 1)))
 ok_hmax = np.array_equal(hmax_h, exp_hmax)
 expect = np.asarray(jnp.clip(
-    jnp.round(jnp.swapaxes(Ht, 0, 1) * (127.0 / hmax)[None, None, :]),
+    jnp.round(Ht * (127.0 / hmax)[None, None, :]),
     -127, 127).astype(jnp.int8))
 ok_hqt = np.array_equal(hqt_h, expect)
 lip_xla = np.asarray(jax.jit(d._lipschitz_phase)(Ht))

@@ -77,7 +77,7 @@ def s1():
     ok_hmax = np.array_equal(
         np.asarray(hmax), np.asarray(jnp.max(jnp.abs(Ht), axis=(0, 1))))
     expect = np.asarray(jnp.clip(
-        jnp.round(jnp.swapaxes(Ht, 0, 1) * (127.0 / hmax)[None, None, :]),
+        jnp.round(Ht * (127.0 / hmax)[None, None, :]),
         -127, 127).astype(jnp.int8))
     ok_hqt = np.array_equal(np.asarray(hqt), expect)
     lip_xla = np.asarray(jax.jit(d._lipschitz_phase)(Ht))

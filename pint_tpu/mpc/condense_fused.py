@@ -45,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pint_tpu.mpc.fused_alm import _out_struct
+from pint_tpu.mpc.fused_alm import _out_struct, on_tpu_backend
 
 Array = jax.Array
 
@@ -87,11 +87,15 @@ def _lipq_kernel_factory(Tm: int, power_iters: int):
 
         scale = np.float32(127.0) / hm                  # (1, bb)
         for k in range(Tm):
-            # hqt[k, j, b] = round(Ht[j, k, b] * 127 / hmax): the strided
-            # middle-axis read happens once per column, outside any loop
-            # the inner re-runs
+            # hqt[k, j, b] = round(Ht[k, j, b] * 127 / hmax): contiguous
+            # leading-axis reads/writes.  The inner kernels consume hqt
+            # as their [k, j] operand, i.e. they apply the quantized
+            # TRANSPOSE q(H)^T -- a valid quantization of the symmetric
+            # H, and the XLA inner consumes the exact same int8 values
+            # (transpose(hqt, (2, 1, 0))), so cross-path bit-identity is
+            # unaffected
             out_hqt[k] = jnp.clip(
-                jnp.round(ht_ref[:, k, :] * scale), -127, 127
+                jnp.round(ht_ref[k] * scale), -127, 127
             ).astype(jnp.int8)
         out_lip[:] = lip
         out_hmax[:] = hm
@@ -109,14 +113,19 @@ def lipq_fused(
     """Power-iteration Lipschitz + int8 quantization, VMEM-resident.
 
     Returns ``(hqt (Tm, Tm, B) int8, lip (B,) f32, h_max (B,) f32)`` with
-    ``hqt[k, j, b] = clip(round(Ht[j, k, b] * 127 / h_max[b]))`` -- the
-    exact operand layout of :func:`pint_tpu.mpc.fused_alm.pgd_fused_words`'s
-    kernel -- ``lip`` already carrying the 1.05 safety factor.  The step
+    ``hqt[k, j, b] = clip(round(Ht[k, j, b] * 127 / h_max[b]))`` (all
+    contiguous leading-axis passes) -- consumed directly as the [k, j]
+    operand of :func:`pint_tpu.mpc.fused_alm.pgd_fused_words`'s kernel,
+    which therefore applies the quantized transpose ``q(H)^T``: a valid
+    int8 quantization of the f32-roundoff-symmetric condensed Hessian,
+    and identical ints in the XLA inner (which takes
+    ``jnp.transpose(hqt, (2, 1, 0))``) -- ``lip`` already carrying the
+    1.05 safety factor.  The step
     rationals and ``g_pre`` rounding stay with the caller (elementwise
     f32, bit-deterministic outside the kernel).
     """
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not on_tpu_backend()
     Tm, Tm2, B = Ht.shape
     assert Tm == Tm2, f"Ht must be (Tm, Tm, B), got {Ht.shape}"
     blk = min(block, -(-B // 128) * 128)
@@ -193,14 +202,17 @@ def _pen_kernel_factory(C: int, Tm: int, power_iters: int):
             ra = jnp.maximum(ra, jnp.sum(a, axis=0, keepdims=True))
         s_scale = sm / np.float32(127.0)
 
-        inv = np.float32(1.0) / s_scale                 # (1, bb)
+        # quantize with scale = 127/max|S| (the same multiply form as
+        # lipq_fused; NOT 1/s_scale, whose double rounding could land a
+        # quotient one ulp away from the reference recompute)
+        scale = np.float32(127.0) / sm                  # (1, bb)
         for c in range(C):
             out_sqc[c] = jnp.clip(
-                jnp.round(s_ref[c] * inv), -127, 127
+                jnp.round(s_ref[c] * scale), -127, 127
             ).astype(jnp.int8)
         for j in range(Tm):
             out_sqj[j] = jnp.clip(
-                jnp.round(s_ref[:, j, :] * inv), -127, 127
+                jnp.round(s_ref[:, j, :] * scale), -127, 127
             ).astype(jnp.int8)
         out_lip[:] = lip
         out_sscale[:] = s_scale
@@ -223,12 +235,12 @@ def pen_fused(
 
     Returns ``(sqc (C, Tm, B) int8, sqj (Tm, C, B) int8, pen_lip (B,)
     f32, s_scale (B,) f32, row_amp (B,) f32)``: ``sqc[c, j, b] =
-    clip(round(S_t[c, j, b] / s_scale[b]))`` in both orientations the
+    clip(round(S_t[c, j, b] * 127 / max|S_t[..., b]|))`` in both orientations the
     fused ALM kernel consumes, ``pen_lip ~ 1.05 * lambda_max(S S^T)``,
     ``s_scale = max|S| / 127`` and ``row_amp = 127 * max_c sum_j |S|``
     (the c-pre unit ingredients, sqp_constrained semantics)."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not on_tpu_backend()
     C, Tm, B = S_t.shape
     blk = min(block, -(-B // 128) * 128)
     rows = -(-B // blk) * blk

@@ -420,13 +420,12 @@ class ConstrainedPGD:
         from pint_tpu.models.dynamics import pack_controls, unpack_controls
         from pint_tpu.models.dynamics import CONTROL_LAYOUT
         from pint_tpu.ops import word as W
+        from pint_tpu.ops.pallas import on_tpu_backend
 
         q = self.qcqp
         qq = self._q
         use_fused = (
-            self.fused
-            if self.fused is not None
-            else jax.default_backend() in ("tpu", "axon")
+            self.fused if self.fused is not None else on_tpu_backend()
         )
         if use_fused:
             from pint_tpu.mpc.fused_alm import alm_shared_fused_words

@@ -216,9 +216,11 @@ class DeviceConstrainedSQP:
             else d._propagate_scan
         )
         Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
-        red = (
-            d._reduce_blocked if d.reduce == "blocked" else d._reduce_phase
-        )
+        red = {
+            "einsum": d._reduce_phase,
+            "blocked": d._reduce_blocked,
+            "btrans": d._reduce_btrans,
+        }[d.reduce]
         Ht, g = red(Abar, Bbar_all, Cbar, x0_f)
         S_t, P_t, r_t = self._stack_constraints(Abar, Bbar_all, Cbar)
         # pin every f32 reduction output before anything rounds on it:
@@ -340,11 +342,7 @@ class DeviceConstrainedSQP:
     # -- public API --------------------------------------------------------------
 
     def _auto(self, flag: Optional[bool]) -> bool:
-        return (
-            flag
-            if flag is not None
-            else jax.default_backend() in ("tpu", "axon")
-        )
+        return self.dev._auto(flag)
 
     def _run_inner(self, use_fused, use_lipq, words, ops, lam):
         """Dispatch the ALM inner on the (statically chosen) operand

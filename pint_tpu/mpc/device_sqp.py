@@ -182,9 +182,9 @@ class DeviceSQP:
                 f"propagate must be 'allpairs', 'scan' or 'unroll', got "
                 f"{self.propagate!r}"
             )
-        if self.reduce not in ("einsum", "blocked"):
+        if self.reduce not in ("einsum", "blocked", "btrans"):
             raise ValueError(
-                f"reduce must be 'einsum' or 'blocked', got "
+                f"reduce must be 'einsum', 'blocked' or 'btrans', got "
                 f"{self.reduce!r}"
             )
         if self.n_dec % 4:
@@ -432,6 +432,35 @@ class DeviceSQP:
             cs.append(c)
         return jnp.stack(Ps), jnp.stack(Ss), jnp.stack(cs)
 
+    def _reduce_consts(self):
+        """Shared reduce-phase constants: (Q, Qf, R_kron, x_ref) as f32
+        jnp values (both contraction forms consume exactly these)."""
+        T = self.horizon
+        Q = jnp.asarray(self.Q, jnp.float32)
+        Qf = jnp.asarray(self._Qf, jnp.float32)
+        R_lane_np = (
+            self._lane_scales[:, None]
+            * np.asarray(self.R)
+            * self._lane_scales[None, :]
+        )
+        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
+        x_ref = np.broadcast_to(
+            np.asarray(self.x_ref, np.float64),
+            (T, np.asarray(self.Q).shape[0]),
+        )
+        return Q, Qf, R_kron, jnp.asarray(x_ref, jnp.float32)
+
+    def _reduce_linear(self, BQ, BQT, Abar, Cx, x0_f):
+        """Shared linear-term epilogue: g = G x0 + g_ref from the
+        weighted stacks (n-contractions, identical in both reduce
+        forms)."""
+        T = self.horizon
+        G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
+        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
+        g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
+        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
+        return jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+
     def _reduce_phase(
         self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
     ):
@@ -447,19 +476,7 @@ class DeviceSQP:
         int8 MXU matmul -- gets a single transposed int8 copy from
         :meth:`_quantize_phase`."""
         T = self.horizon
-        Q = jnp.asarray(self.Q, jnp.float32)
-        Qf = jnp.asarray(self._Qf, jnp.float32)
-        R_lane_np = (
-            self._lane_scales[:, None]
-            * np.asarray(self.R)
-            * self._lane_scales[None, :]
-        )
-        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
-        x_ref = np.broadcast_to(
-            np.asarray(self.x_ref, np.float64),
-            (T, np.asarray(self.Q).shape[0]),
-        )
-        x_ref = jnp.asarray(x_ref, jnp.float32)
+        Q, Qf, R_kron, x_ref = self._reduce_consts()
         Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
 
         BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
@@ -468,11 +485,7 @@ class DeviceSQP:
         Ht = jnp.einsum("kjnb,kjmb->nmb", BQ, Bbar_all)
         Ht = Ht + jnp.einsum("jnb,jmb->nmb", BQT, BT)
         Ht = Ht + R_kron[:, :, None]
-        G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
-        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
-        g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
-        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
-        g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+        g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
         return Ht, g
 
     def _reduce_blocked(
@@ -480,25 +493,13 @@ class DeviceSQP:
     ):
         """``reduce="blocked"`` contraction (see the field docstring):
         2x2 block-triangular Ht with the symmetric mirror; the linear
-        term g and the feedback matrix G reuse the einsum path's forms
-        (n-contractions, not the hot part)."""
+        term reuses :meth:`_reduce_linear` (n-contractions, not the hot
+        part)."""
         T, m = self.horizon, self.n_ctrl
         Tm = self.n_dec
         Th = T // 2
         h = Th * m
-        Q = jnp.asarray(self.Q, jnp.float32)
-        Qf = jnp.asarray(self._Qf, jnp.float32)
-        R_lane_np = (
-            self._lane_scales[:, None]
-            * np.asarray(self.R)
-            * self._lane_scales[None, :]
-        )
-        R_kron = jnp.asarray(np.kron(np.eye(T), R_lane_np), jnp.float32)
-        x_ref = np.broadcast_to(
-            np.asarray(self.x_ref, np.float64),
-            (T, np.asarray(self.Q).shape[0]),
-        )
-        x_ref = jnp.asarray(x_ref, jnp.float32)
+        Q, Qf, R_kron, x_ref = self._reduce_consts()
         Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
 
         BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
@@ -518,12 +519,37 @@ class DeviceSQP:
         top = jnp.concatenate([H_ll, H_lh], axis=1)
         bot = jnp.concatenate([jnp.swapaxes(H_lh, 0, 1), H_hh], axis=1)
         Ht = jnp.concatenate([top, bot], axis=0) + R_kron[:, :, None]
+        g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
+        return Ht, g
 
-        G = jnp.einsum("kjnb,kjqb->bnq", BQ, Abar)
-        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
-        g_ref = jnp.einsum("kjnb,kjb->bn", BQ, Cx)
-        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
-        g = jnp.einsum("bnq,bq->bn", G, x0_f.astype(jnp.float32)) + g_ref
+    def _reduce_btrans(
+        self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
+    ):
+        """``reduce="btrans"`` contraction: explicitly transpose the
+        weighted stacks to batch-LEADING (B, T*n, Tm), contract as one
+        clean batched GEMM, and transpose Ht back to batch-last for the
+        lipschitz/quantize stages.  Probes whether XLA's handling of the
+        batch-trailing einsum (which must relayout internally) loses to
+        paying the two 100/67 MB transposes explicitly."""
+        T = self.horizon
+        Tm = self.n_dec
+        Q, Qf, R_kron, x_ref = self._reduce_consts()
+        Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
+
+        BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
+        BT = Bbar_all[T - 1]
+        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
+        n = Bbar_all.shape[1]
+        Al = jnp.transpose(BQ.reshape(T * n, Tm, -1), (2, 0, 1))
+        Bl = jnp.transpose(Bbar_all.reshape(T * n, Tm, -1), (2, 0, 1))
+        Hb = jnp.einsum("bkn,bkm->bnm", Al, Bl)               # (B,Tm,Tm)
+        Hb = Hb + jnp.einsum(
+            "bjn,bjm->bnm",
+            jnp.transpose(BQT, (2, 0, 1)),
+            jnp.transpose(BT, (2, 0, 1)),
+        )
+        Ht = jnp.transpose(Hb, (1, 2, 0)) + R_kron[:, :, None]
+        g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
         return Ht, g
 
     def _lipschitz_phase(self, Ht: Array) -> Array:
@@ -589,11 +615,11 @@ class DeviceSQP:
             else self._propagate_scan
         )
         Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
-        red = (
-            self._reduce_blocked
-            if self.reduce == "blocked"
-            else self._reduce_phase
-        )
+        red = {
+            "einsum": self._reduce_phase,
+            "blocked": self._reduce_blocked,
+            "btrans": self._reduce_btrans,
+        }[self.reduce]
         return red(Abar, Bbar_all, Cbar, x0_f)
 
     def _condense_hg(self, x0_f: Array, lanes: Array):
@@ -678,10 +704,40 @@ class DeviceSQP:
     # -- public API ---------------------------------------------------------------
 
     def _auto(self, flag: "bool | None") -> bool:
-        return (
-            flag
-            if flag is not None
-            else jax.default_backend() in ("tpu", "axon")
+        from pint_tpu.mpc.fused_alm import on_tpu_backend
+
+        return flag if flag is not None else on_tpu_backend()
+
+    def _run_inner(self, use_fused, use_lipq, words, x0_f, lanes):
+        """Condense (lipq kernel or XLA epilogue) + one full-column PGD
+        inner, in all four flag combinations -- the shared body of
+        :meth:`solve_words` and the tp == 1 sharded path.  All four
+        combinations are bit-identical given the same quantized operands
+        (tests/test_condense_fused.py)."""
+        if use_lipq:
+            hqt, g_pre, hs_num, hs_den = self._condense_lipq(x0_f, lanes)
+            if use_fused:
+                from pint_tpu.mpc.fused_alm import pgd_fused_words_pre
+
+                return pgd_fused_words_pre(
+                    words, g_pre, hqt, hs_num, hs_den,
+                    iters=self.pgd_iters, g_shift=self.g_shift,
+                    block=self.fused_block,
+                )
+            Hq = jnp.transpose(hqt, (2, 1, 0))
+        else:
+            Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
+            if use_fused:
+                from pint_tpu.mpc.fused_alm import pgd_fused_words
+
+                return pgd_fused_words(
+                    words, g_pre, Hq, hs_num, hs_den,
+                    iters=self.pgd_iters, g_shift=self.g_shift,
+                    block=self.fused_block,
+                )
+        return _pgd_batched_h(
+            words, g_pre, Hq, hs_num, hs_den,
+            iters=self.pgd_iters, g_shift=self.g_shift,
         )
 
     @functools.cached_property
@@ -689,39 +745,11 @@ class DeviceSQP:
         def solve(u_words: Array, x0_f: Array) -> Array:
             use_fused = self._auto(self.fused)
             use_lipq = self._auto(self.lipq)
-            if use_fused:
-                from pint_tpu.mpc.fused_alm import (
-                    pgd_fused_words,
-                    pgd_fused_words_pre,
-                )
 
             def outer(_, words):
                 lanes = unpack_controls(words)[:, : self.n_dec]
-                if use_lipq:
-                    hqt, g_pre, hs_num, hs_den = self._condense_lipq(
-                        x0_f, lanes
-                    )
-                    if use_fused:
-                        return pgd_fused_words_pre(
-                            words, g_pre, hqt, hs_num, hs_den,
-                            iters=self.pgd_iters, g_shift=self.g_shift,
-                            block=self.fused_block,
-                        )
-                    Hq = jnp.transpose(hqt, (2, 1, 0))
-                    return _pgd_batched_h(
-                        words, g_pre, Hq, hs_num, hs_den,
-                        iters=self.pgd_iters, g_shift=self.g_shift,
-                    )
-                Hq, g_pre, hs_num, hs_den = self._condense_dev(x0_f, lanes)
-                if use_fused:
-                    return pgd_fused_words(
-                        words, g_pre, Hq, hs_num, hs_den,
-                        iters=self.pgd_iters, g_shift=self.g_shift,
-                        block=self.fused_block,
-                    )
-                return _pgd_batched_h(
-                    words, g_pre, Hq, hs_num, hs_den,
-                    iters=self.pgd_iters, g_shift=self.g_shift,
+                return self._run_inner(
+                    use_fused, use_lipq, words, x0_f, lanes
                 )
 
             return jax.lax.fori_loop(0, self.sqp_iters, outer, u_words)
@@ -767,20 +795,7 @@ class DeviceSQP:
         block = self.n_dec // tp
         use_fused = self._auto(self.fused)
         use_lipq = self._auto(self.lipq)
-        if tp == 1 and use_fused:
-            from pint_tpu.mpc.fused_alm import (
-                pgd_fused_words,
-                pgd_fused_words_pre,
-            )
-
-            pgd_full = functools.partial(
-                pgd_fused_words, block=self.fused_block
-            )
-            pgd_full_pre = functools.partial(
-                pgd_fused_words_pre, block=self.fused_block
-            )
-        else:
-            pgd_full = pgd_full_pre = None
+        fused_tp1 = tp == 1 and use_fused
 
         def local(u_words: Array, x0_f: Array) -> Array:
             r = jax.lax.axis_index("tp")
@@ -794,25 +809,19 @@ class DeviceSQP:
                 lanes = jax.lax.all_gather(
                     lanes_r, "tp", axis=1, tiled=True
                 )  # (B_loc, Tm): exact int32 plan, tp-replicated
+                if fused_tp1:  # whole-column fused inner per shard
+                    return self._run_inner(
+                        True, use_lipq, words, x0_f, lanes
+                    )
                 if use_lipq:
                     hqt, g_pre, hs_num, hs_den = self._condense_lipq(
                         x0_f, lanes
                     )
-                    if pgd_full_pre is not None:
-                        return pgd_full_pre(
-                            words, g_pre, hqt, hs_num, hs_den,
-                            iters=self.pgd_iters, g_shift=self.g_shift,
-                        )
                     Hq = jnp.transpose(hqt, (2, 1, 0))
                 else:
                     Hq, g_pre, hs_num, hs_den = self._condense_dev(
                         x0_f, lanes
                     )
-                    if pgd_full is not None:  # tp == 1: whole-column inner
-                        return pgd_full(
-                            words, g_pre, Hq, hs_num, hs_den,
-                            iters=self.pgd_iters, g_shift=self.g_shift,
-                        )
                 g_r = jax.lax.dynamic_slice_in_dim(
                     g_pre, r * block, block, axis=1
                 )
@@ -835,7 +844,7 @@ class DeviceSQP:
             # JAX's own error says to pass check_vma=False) -- disable
             # the static check when any kernel runs in the shard body,
             # keeping it as a safety net for the pure-XLA column path
-            check_vma=pgd_full is None and not use_lipq,
+            check_vma=not fused_tp1 and not use_lipq,
         )
         return jax.jit(
             lambda u, x0: fn(u, jnp.asarray(x0, jnp.float32))

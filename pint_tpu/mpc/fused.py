@@ -169,10 +169,12 @@ class FusedPGD:
         cols = k * qqp.padded
         if br % k:
             raise ValueError("block_rows must divide by mxu_pack")
+        from pint_tpu.ops.pallas import on_tpu_backend
+
         interpret = (
             self.interpret
             if self.interpret is not None
-            else jax.default_backend() not in ("tpu", "axon")
+            else not on_tpu_backend()
         )
 
         if self.packed_io:

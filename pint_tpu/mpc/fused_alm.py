@@ -48,8 +48,10 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 Array = jax.Array
 
 __all__ = ["alm_fused_words", "alm_fused_words_pre",
-           "alm_shared_fused_words", "pgd_fused_words",
+           "alm_shared_fused_words", "on_tpu_backend", "pgd_fused_words",
            "pgd_fused_words_pre"]
+
+from pint_tpu.ops.pallas import on_tpu_backend  # noqa: E402 (re-export)
 
 
 def _out_struct(shape, dtype, *operands):
@@ -172,7 +174,7 @@ def alm_shared_fused_words(
     the XLA form round-trips the iterate and y-planes through HBM every
     one of its ``outer x inners`` iterations."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not on_tpu_backend()
     B, Tp = g_pre.shape
     Cp = c_off.shape[1]
     # clamp the block to the 128-row-padded batch: a B=64 call must not
@@ -331,7 +333,7 @@ def _pgd_fused_core(
     """Shared body of :func:`pgd_fused_words` / :func:`pgd_fused_words_pre`:
     batch-last padding + the pallas_call.  Returns packed words (B, Tp/4)."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not on_tpu_backend()
     B, Tp = g_pre.shape
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
@@ -445,7 +447,7 @@ def _alm_fused_core(
     """Shared body of :func:`alm_fused_words` / :func:`alm_fused_words_pre`:
     batch-last padding + the pallas_call.  Returns (words, lam)."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not on_tpu_backend()
     B, Tp = g_pre.shape
     Cp = c_off.shape[1]
     # batch is the trailing (128-lane) dim: clamp the block so small

@@ -111,8 +111,18 @@ def _elementwise_call(kernel, n_in: int, shape, dtype, block_rows, rows, interpr
     )
 
 
+TPU_BACKENDS = ("tpu", "axon")
+
+
+def on_tpu_backend() -> bool:
+    """True when the default backend compiles Pallas natively (real TPU
+    or the tunneled axon plugin) -- the single source of truth for every
+    kernel/flag auto-gate in the package."""
+    return jax.default_backend() in TPU_BACKENDS
+
+
 def _default_interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
+    return not on_tpu_backend()
 
 
 def _flatten_pad(x: Array, padded_total: int) -> Array:

@@ -54,7 +54,9 @@ class MPCService:
         self.batch = batch
         self.m = inputs_per_step
         if use_fused is None:
-            use_fused = jax.default_backend() in ("tpu", "axon")
+            from pint_tpu.ops.pallas import on_tpu_backend
+
+            use_fused = on_tpu_backend()
         if use_fused:
             from pint_tpu.mpc.fused import FusedPGD
 

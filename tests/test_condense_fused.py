@@ -47,11 +47,10 @@ def test_kernel_quantization_exact_given_own_scales(ht_g, block):
     )
     # int8 rounding is elementwise given hmax: recompute in XLA from the
     # kernel's own h_max and compare bitwise (kernel orientation:
-    # hqt[k, j, b] = q(Ht[j, k, b]))
+    # hqt[k, j, b] = q(Ht[k, j, b]) -- contiguous writes; the inner
+    # applies the quantized transpose of the symmetric H)
     expect = jnp.clip(
-        jnp.round(
-            jnp.swapaxes(Ht, 0, 1) * (127.0 / hmax)[None, None, :]
-        ),
+        jnp.round(Ht * (127.0 / hmax)[None, None, :]),
         -127, 127,
     ).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(hqt), np.asarray(expect))
@@ -196,12 +195,13 @@ def test_pen_kernel_quantization_exact_given_own_scale(s_stack, block):
         S_t, power_iters=devc.dev.power_iters, block=block
     )
     # max-abs is order-independent: bitwise equal to the XLA reduce
+    sm = jnp.max(jnp.abs(S_t), axis=(0, 1))
     np.testing.assert_array_equal(
-        np.asarray(s_scale),
-        np.asarray(jnp.max(jnp.abs(S_t), axis=(0, 1)) / 127.0),
+        np.asarray(s_scale), np.asarray(sm / 127.0)
     )
+    # recompute with the kernel's exact multiply form (127/max|S|)
     exp_c = jnp.clip(
-        jnp.round(S_t / s_scale[None, None, :]), -127, 127
+        jnp.round(S_t * (127.0 / sm)[None, None, :]), -127, 127
     ).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(sqc), np.asarray(exp_c))
     np.testing.assert_array_equal(

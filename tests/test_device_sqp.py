@@ -281,6 +281,30 @@ def test_reduce_blocked_agrees(pair):
     np.testing.assert_allclose(c_v, c_d, rtol=0.01, atol=1e-4)
 
 
+def test_reduce_btrans_agrees(pair):
+    """The explicit batch-leading GEMM reduce reproduces the einsum
+    path's condensed (Ht, g) to f32 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    _, dev = pair
+    rng = np.random.default_rng(17)
+    B = 8
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+         rng.uniform(0, 1, B)], axis=-1).astype(np.float32))
+    lanes = jnp.asarray(
+        rng.integers(-100, 100, (B, dev.n_dec), dtype=np.int32))
+    A_seq, B_lane, c_seq = jax.jit(dev._linearize_phase)(x0, lanes)
+    Abar, Bbar, Cbar = jax.jit(dev._propagate_scan)(A_seq, B_lane, c_seq)
+    Ht_e, g_e = jax.jit(dev._reduce_phase)(Abar, Bbar, Cbar, x0)
+    Ht_b, g_b = jax.jit(dev._reduce_btrans)(Abar, Bbar, Cbar, x0)
+    scale = float(jnp.max(jnp.abs(Ht_e)))
+    assert float(jnp.max(jnp.abs(Ht_b - Ht_e))) / scale < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_e), rtol=1e-5, atol=1e-4)
+
+
 def test_bad_reduce_rejected():
     with pytest.raises(ValueError, match="reduce must be"):
         DeviceSQP(horizon=8, reduce="bogus")

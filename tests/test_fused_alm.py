@@ -183,44 +183,60 @@ def test_shared_fused_lti_bit_identical(block_rows):
 
 
 def test_auto_default_is_backend_gated(monkeypatch):
-    """fused=None must resolve to the XLA path off-TPU (no interpret-mode
-    kernel in production CPU use) and to the Pallas kernel on TPU
-    backends.  The execution path is observed directly: both inner entry
-    points are wrapped with call recorders, and ``jax.default_backend``
-    is monkeypatched to simulate the TPU case (the kernel still runs in
-    interpret mode, forced by the spy, so results stay comparable)."""
+    """fused=None / lipq=None must resolve to the XLA paths off-TPU (no
+    interpret-mode kernels in production CPU use) and to the Pallas
+    kernels on TPU backends.  The execution paths are observed directly:
+    the inner entry points and the lipq/pen kernels are wrapped with
+    call recorders, and ``jax.default_backend`` is monkeypatched to
+    simulate the TPU case (the kernels still run in interpret mode,
+    forced by the spies, so results stay comparable)."""
+    import pint_tpu.mpc.condense_fused as cf
     import pint_tpu.mpc.device_constrained as dc
     import pint_tpu.mpc.fused_alm as fa
 
     calls = []
-    real_fused = fa.alm_fused_words
+    real_fused_pre = fa.alm_fused_words_pre
     real_xla = dc._alm_batched
+    real_lipq = cf.lipq_fused
+    real_pen = cf.pen_fused
 
-    def spy_fused(*a, **k):
+    def spy_fused_pre(*a, **k):
         calls.append("fused")
         k["interpret"] = True
-        return real_fused(*a, **k)
+        return real_fused_pre(*a, **k)
 
     def spy_xla(*a, **k):
         calls.append("xla")
         return real_xla(*a, **k)
 
-    monkeypatch.setattr(fa, "alm_fused_words", spy_fused)
+    def spy_lipq(*a, **k):
+        calls.append("lipq")
+        k["interpret"] = True
+        return real_lipq(*a, **k)
+
+    def spy_pen(*a, **k):
+        calls.append("pen")
+        k["interpret"] = True
+        return real_pen(*a, **k)
+
+    monkeypatch.setattr(fa, "alm_fused_words_pre", spy_fused_pre)
     monkeypatch.setattr(dc, "_alm_batched", spy_xla)
+    monkeypatch.setattr(cf, "lipq_fused", spy_lipq)
+    monkeypatch.setattr(cf, "pen_fused", spy_pen)
 
     B = 2
     x0 = np.array([[0.0, 0.0, 1.0]] * B, np.float32)
-    devc = _mk()  # fused=None, cpu backend -> XLA inner
+    devc = _mk()  # fused=None, cpu backend -> XLA inner, XLA epilogues
     w_auto, l_auto = devc.solve_words(devc.init_words(B), x0)
-    assert "xla" in calls and "fused" not in calls
+    assert "xla" in calls
+    assert "fused" not in calls and "lipq" not in calls
 
     calls.clear()
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    devc_tpu = _mk()  # fresh instance: fused=None now selects the kernel
-    w_f, l_f = devc_tpu.solve_words(devc_tpu.init_words(B), x0)
-    assert "fused" in calls and "xla" not in calls
-    assert jnp.array_equal(w_auto, w_f)
-    assert jnp.array_equal(l_auto, l_f)
+    devc_tpu = _mk()  # fresh instance: every None flag now selects kernels
+    devc_tpu.solve_words(devc_tpu.init_words(B), x0)
+    assert "fused" in calls and "lipq" in calls and "pen" in calls
+    assert "xla" not in calls
 
 
 def _mesh(dp, tp):

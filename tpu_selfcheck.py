@@ -266,8 +266,7 @@ def main() -> None:
     hqt9, lip9, hmax9 = jax.jit(lambda H: lipq_fused(
         H, power_iters=d7.power_iters, block=128, interpret=False))(Ht9)
     exp9 = jnp.clip(
-        jnp.round(jnp.swapaxes(Ht9, 0, 1)
-                  * (127.0 / hmax9)[None, None, :]),
+        jnp.round(Ht9 * (127.0 / hmax9)[None, None, :]),
         -127, 127).astype(jnp.int8)
     check("lipq kernel int8 quantization exact",
           bool(jnp.all(hqt9 == exp9)))
