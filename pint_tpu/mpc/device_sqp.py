@@ -119,14 +119,19 @@ class DeviceSQP:
     poorly.  Both paths agree to f32 roundoff and stay bit-identical end
     to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
     reduce: str = "einsum"
-    """Condensed-Hessian contraction form: "einsum" (the default two-
-    einsum BQ/Ht path) or "blocked" (2x2 block-triangular + symmetric
-    mirror: Bbar[k]'s columns beyond (k+1)*m are structurally zero, so
-    the upper-right and lower-right blocks contract over k >= T/2 only
-    -- ~2x fewer MXU FLOPs on the dominant einsum -- and the lower-left
-    block is the exact int-free transpose copy of the upper-right,
-    making H exactly symmetric).  Agreement is f32-roundoff-level
-    (tests/test_device_sqp.py::test_reduce_blocked_agrees)."""
+    """Condensed-Hessian contraction form.  "einsum" (default): the
+    two-einsum BQ/Ht path, batch-last throughout.  "blocked": 2x2
+    block-triangular + symmetric mirror (skips the structurally-zero
+    half of the contraction, ~2x fewer MXU FLOPs).  "btrans": explicit
+    batch-leading transposes + one clean batched GEMM.  All agree to
+    f32 roundoff (tests/test_device_sqp.py).  Measured END TO END on
+    chip at B=4096 (EXP_CONDENSE.json / EXP_BTRANS.json), the default
+    WINS despite its naive FLOP count: T=32 einsum 246.7K vs blocked
+    185.5K vs btrans 237.5K solves/s (T=50: 102.0K / 92.9K / 94.6K) --
+    XLA's internal handling of the batch-trailing contraction beats
+    both the halved-FLOPs form (extra block materializations) and the
+    explicit-relayout form (the 100/67 MB transposes cost more than
+    they save).  The alternatives stay as measured cross-checks."""
     fused: "bool | None" = None
     """Run the PGD inner as the VMEM-resident Pallas kernel
     (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
@@ -407,8 +412,12 @@ class DeviceSQP:
         step k's control block enters via a static ``.at[:, k*m:(k+1)*m]
         .add`` instead.  Same stacks, f32-roundoff-identical
         (tests/test_device_sqp.py::test_propagate_unroll_agrees).
-        Compile time grows with T (straight-line T-step chain); the scan
-        stays the default until the on-chip comparison says otherwise.
+        Measured on chip: 1.8x faster than the scan in isolation (0.45
+        vs 0.82 ms at T=32) but 27% SLOWER end to end inside the full
+        solver (177.7K vs 243.5K solves/s, EXP_CONDENSE.json) -- the
+        unrolled chain's separate intermediates and the final stack
+        copies defeat the fusion/scheduling the scan form gets; kept as
+        a measured cross-check, scan stays the default.
         """
         T, m = self.horizon, self.n_ctrl
         Tm = self.n_dec
