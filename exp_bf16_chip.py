@@ -1,5 +1,14 @@
-"""Full-solver rate for the opt-in reduce='bf16' speed mode vs the f32
-default (T=32 and T=50, B=4096, fused+lipq on).  Writes EXP_BF16.json."""
+"""Full-solver rate for a bf16-Hessian-contraction reduce variant vs
+the f32 default (T=32 and T=50, B=4096, fused+lipq on).
+
+RESULT (EXP_BF16.json, 2026-08-21): negative on BOTH axes -- 11%/7%
+SLOWER (219.7K vs 248.0K at T=32; 95.7K vs 102.5K at T=50: the bf16
+cast passes cost more than the halved einsum traffic saves) and 3.2%/
+6.4% final-cost deviation vs the float64 host path (vs <0.5% for f32).
+The reduce='bf16' option was removed from DeviceSQP accordingly; this
+script keeps a standalone copy of the variant for re-measurement.
+"""
+import dataclasses as _dc  # noqa: F401 (kept for the header example)
 import dataclasses
 import json
 import sys
@@ -32,8 +41,33 @@ for T in (32, 50):
          rng.uniform(0, 1, B)], axis=-1).astype(np.float32)
     x0j = jnp.asarray(x0)
     u0 = base.init_words(B)
-    for name in ("einsum", "bf16"):
-        d = dataclasses.replace(base, reduce=name)
+    import types
+
+    def _reduce_bf16(self, Abar, Bbar_all, Cbar, x0_f):
+        T_ = self.horizon
+        Q, Qf, R_kron, x_ref = self._reduce_consts()
+        Cx = Cbar - x_ref[:, :, None]
+        BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
+        BT = Bbar_all[T_ - 1]
+        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
+        Ht = jnp.einsum(
+            "kjnb,kjmb->nmb", BQ.astype(jnp.bfloat16),
+            Bbar_all.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        Ht = Ht + jnp.einsum(
+            "jnb,jmb->nmb", BQT.astype(jnp.bfloat16),
+            BT.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        Ht = Ht + R_kron[:, :, None]
+        g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
+        return Ht, g
+
+    variants = {"einsum": base}
+    b16 = dataclasses.replace(base)
+    object.__setattr__(b16, "_reduce_phase",
+                       types.MethodType(_reduce_bf16, b16))
+    variants["bf16"] = b16
+    for name, d in variants.items():
         sec = time_chained(
             lambda w, x, dd=d: dd._solve_jit(w, x), u0, x0j,
             inner=32 if T == 32 else 16, reps=5, overhead=OVERHEAD)
@@ -42,8 +76,7 @@ for T in (32, 50):
     # quality on chip: final true cost vs the f64 host path
     host = QuantizedSQP(**kw)
     sub = x0[:64].astype(np.float64)
-    w_b = dataclasses.replace(base, reduce="bf16").solve_words(
-        base.init_words(64), sub.astype(np.float32))
+    w_b = b16.solve_words(base.init_words(64), sub.astype(np.float32))
     _, hc = host.solve(sub)
     cb = host.true_cost(sub, host.lanes(w_b))
     rel = float(np.max(np.abs(cb - hc[:, -1]) /

@@ -131,7 +131,11 @@ class DeviceSQP:
     XLA's internal handling of the batch-trailing contraction beats
     both the halved-FLOPs form (extra block materializations) and the
     explicit-relayout form (the 100/67 MB transposes cost more than
-    they save).  The alternatives stay as measured cross-checks."""
+    they save).  A bf16-operand contraction was also measured and
+    REMOVED: 11% slower (the cast passes eat the traffic saving) AND
+    3-6% final-cost deviation vs the f64 host (EXP_BF16.json,
+    exp_bf16_chip.py).  The alternatives stay as measured
+    cross-checks."""
     fused: "bool | None" = None
     """Run the PGD inner as the VMEM-resident Pallas kernel
     (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
@@ -187,10 +191,10 @@ class DeviceSQP:
                 f"propagate must be 'allpairs', 'scan' or 'unroll', got "
                 f"{self.propagate!r}"
             )
-        if self.reduce not in ("einsum", "blocked", "btrans", "bf16"):
+        if self.reduce not in ("einsum", "blocked", "btrans"):
             raise ValueError(
-                f"reduce must be 'einsum', 'blocked', 'btrans' or "
-                f"'bf16', got {self.reduce!r}"
+                f"reduce must be 'einsum', 'blocked' or 'btrans', got "
+                f"{self.reduce!r}"
             )
         if self.n_dec % 4:
             raise ValueError(
@@ -531,41 +535,6 @@ class DeviceSQP:
         g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
         return Ht, g
 
-    def _reduce_bf16(
-        self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
-    ):
-        """``reduce="bf16"`` (opt-in speed mode): the Ht contraction runs
-        with bfloat16 operands and f32 accumulation -- half the HBM
-        traffic and double the MXU rate of the f32 einsum.  The bf16
-        mantissa (8 bits) injects ~0.4% relative error into H, the same
-        order as the int8 quantization that consumes it; the linear term
-        g stays full f32.  NOT the default: it trades the f32
-        condensation's 1e-7 fidelity to the float64 host path for
-        throughput -- final true costs land within ~2% of the host
-        path at the headline config instead of <0.5% (band asserted in
-        tests/test_device_sqp.py::test_reduce_bf16_quality)."""
-        T = self.horizon
-        Q, Qf, R_kron, x_ref = self._reduce_consts()
-        Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
-
-        BQ = jnp.einsum("kinb,ij->kjnb", Bbar_all, Q)
-        BT = Bbar_all[T - 1]
-        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
-        bq16 = BQ.astype(jnp.bfloat16)
-        bb16 = Bbar_all.astype(jnp.bfloat16)
-        Ht = jnp.einsum(
-            "kjnb,kjmb->nmb", bq16, bb16,
-            preferred_element_type=jnp.float32,
-        )
-        Ht = Ht + jnp.einsum(
-            "jnb,jmb->nmb",
-            BQT.astype(jnp.bfloat16), BT.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        Ht = Ht + R_kron[:, :, None]
-        g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
-        return Ht, g
-
     def _reduce_btrans(
         self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
     ):
@@ -663,7 +632,6 @@ class DeviceSQP:
             "einsum": self._reduce_phase,
             "blocked": self._reduce_blocked,
             "btrans": self._reduce_btrans,
-            "bf16": self._reduce_bf16,
         }[self.reduce]
         return red(Abar, Bbar_all, Cbar, x0_f)
 

@@ -308,39 +308,3 @@ def test_reduce_btrans_agrees(pair):
 def test_bad_reduce_rejected():
     with pytest.raises(ValueError, match="reduce must be"):
         DeviceSQP(horizon=8, reduce="bogus")
-
-
-def test_reduce_bf16_quality(pair):
-    """The opt-in bf16 Hessian contraction stays within the documented
-    accuracy band: Ht within ~1% of the f32 form, final true costs
-    within 5% of the float64 host path (measured ~2% worst case at this
-    config -- the speed mode's documented tradeoff)."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    host, dev = pair
-    rng = np.random.default_rng(19)
-    B = 8
-    x0 = np.stack(
-        [rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
-         rng.uniform(0, 1, B)], axis=-1).astype(np.float32)
-    x0j = jnp.asarray(x0)
-    lanes = jnp.asarray(
-        rng.integers(-100, 100, (B, dev.n_dec), dtype=np.int32))
-    A_seq, B_lane, c_seq = jax.jit(dev._linearize_phase)(x0j, lanes)
-    Abar, Bbar, Cbar = jax.jit(dev._propagate_scan)(A_seq, B_lane, c_seq)
-    Ht_e, g_e = jax.jit(dev._reduce_phase)(Abar, Bbar, Cbar, x0j)
-    Ht_b, g_b = jax.jit(dev._reduce_bf16)(Abar, Bbar, Cbar, x0j)
-    scale = float(jnp.max(jnp.abs(Ht_e)))
-    assert float(jnp.max(jnp.abs(Ht_b - Ht_e))) / scale < 0.01
-    np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_e))
-
-    dev_b = dataclasses.replace(dev, reduce="bf16")
-    u0 = dev.init_words(B)
-    w_b = dev_b.solve_words(u0, x0)
-    _, host_costs = host.solve(x0.astype(np.float64))
-    c_b = host.true_cost(x0.astype(np.float64), host.lanes(w_b))
-    np.testing.assert_allclose(
-        c_b, host_costs[:, -1], rtol=0.05, atol=1e-4)
