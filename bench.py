@@ -672,6 +672,13 @@ def bench_serving(overhead, reps=30, b_lti=8192, b_rti=4096) -> dict:
     out["mpc_ticks_per_s_device"] = 1.0 / sec
     p50, p99 = e2e(svc, x0)
     out["mpc_solve_p50_ms"], out["mpc_solve_p99_ms"] = p50, p99
+    # the float64 host linear-term path for comparison (dominated by the
+    # host-side g_lane_fixed at this batch -- the reason g_on_device
+    # defaults on for TPU serving)
+    svc_h = MPCService(qqp, batch=b, iters_per_tick=15, g_on_device=False)
+    p50h, p99h = e2e(svc_h, x0, n=max(5, reps // 3))
+    out["mpc_solve_hostg_p50_ms"] = p50h
+    out["mpc_solve_hostg_p99_ms"] = p99h
 
     # -- RTIService: nonlinear RTI (DeviceSQP, 1 SQP/tick), batch 4096 -------
     b = b_rti

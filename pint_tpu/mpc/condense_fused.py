@@ -129,6 +129,12 @@ def lipq_fused(
     Tm, Tm2, B = Ht.shape
     assert Tm == Tm2, f"Ht must be (Tm, Tm, B), got {Ht.shape}"
     blk = min(block, -(-B // 128) * 128)
+    # VMEM guard: the kernel holds a (Tm, Tm, blk) f32 slab + the int8
+    # output, double-buffered across grid steps; Mosaic's scoped VMEM is
+    # ~16 MB, so halve the block until ~12 MB fits (long horizons: T=64
+    # OOMs at blk=128 otherwise)
+    while blk > 8 and 2 * (Tm * Tm * blk * 5) > 14 * 2**20:
+        blk //= 2
     rows = -(-B // blk) * blk
     pad = rows - B
     if pad:
@@ -243,6 +249,9 @@ def pen_fused(
         interpret = not on_tpu_backend()
     C, Tm, B = S_t.shape
     blk = min(block, -(-B // 128) * 128)
+    # VMEM guard (see lipq_fused): f32 slab + two int8 outputs
+    while blk > 8 and 2 * (C * Tm * blk * 6) > 14 * 2**20:
+        blk //= 2
     rows = -(-B // blk) * blk
     pad = rows - B
     if pad:

@@ -134,6 +134,10 @@ class DeviceConstrainedSQP:
     lipq_block: int = 128
 
     @functools.cached_property
+    def _sharded_cache(self) -> dict:
+        return {}
+
+    @functools.cached_property
     def _F(self) -> np.ndarray:
         return np.atleast_2d(np.asarray(self.F, float))
 
@@ -477,12 +481,16 @@ class DeviceConstrainedSQP:
         Pallas ALM kernel runs per shard, so a multi-chip deployment
         keeps the fused per-chip rate (bit-identity:
         tests/test_fused_alm.py).  Bit-identical to :meth:`solve_words`
-        on every mesh shape (tests/test_device_constrained.py).  Hold
-        onto the returned callable: a fresh program is built per call.
+        on every mesh shape (tests/test_device_constrained.py).
+        Programs are memoized per mesh (shape + device ids).
         """
         from jax.sharding import PartitionSpec as P
 
         d = self.dev
+        key = d._mesh_key(mesh)
+        cached = self._sharded_cache.get(key)
+        if cached is not None:
+            return cached
         tp = mesh.shape["tp"]
         if d.n_dec % (4 * tp):
             raise ValueError(
@@ -564,9 +572,11 @@ class DeviceConstrainedSQP:
             # propagate vma tags (see DeviceSQP.sharded_solve_words)
             check_vma=not fused_tp1 and not use_lipq,
         )
-        return jax.jit(
+        out = jax.jit(
             lambda u, x0, lam: fn(u, jnp.asarray(x0, jnp.float32), lam)
         )
+        self._sharded_cache[key] = out
+        return out
 
     def solve(self, x0_f: np.ndarray):
         """Cold-start convenience (API symmetry with DeviceSQP.solve):

@@ -775,6 +775,17 @@ class DeviceSQP:
         One XLA program; vmap/shard_map friendly."""
         return self._solve_jit(u_words, jnp.asarray(x0_f, jnp.float32))
 
+    @functools.cached_property
+    def _sharded_cache(self) -> dict:
+        return {}
+
+    @staticmethod
+    def _mesh_key(mesh):
+        return (
+            tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat),
+        )
+
     def sharded_solve_words(self, mesh):
         """dp x tp sharded solve: jitted (u_words (B, Tm/4) P('dp','tp'),
         x0_f (B, n) P('dp', None)) -> words P('dp','tp').
@@ -792,12 +803,16 @@ class DeviceSQP:
         kernel runs per shard and a multi-chip deployment gets the same
         per-chip rate as :meth:`solve_words` (fused-sharded bit-identity:
         tests/test_fused_alm.py).  Bit-identical to :meth:`solve_words`
-        on every mesh shape (tests/test_device_sqp.py).  Hold onto the
-        returned callable: a fresh program is built per call (DeviceSQP
-        carries ndarray fields, so it can't memoize per-mesh programs on
-        itself).
+        on every mesh shape (tests/test_device_sqp.py).  Programs are
+        memoized per mesh (shape + device ids), so repeated calls with
+        the same mesh return the same compiled callable.
         """
         from jax.sharding import PartitionSpec as P
+
+        key = self._mesh_key(mesh)
+        cached = self._sharded_cache.get(key)
+        if cached is not None:
+            return cached
 
         tp = mesh.shape["tp"]
         if self.n_dec % (4 * tp):
@@ -859,9 +874,11 @@ class DeviceSQP:
             # keeping it as a safety net for the pure-XLA column path
             check_vma=not fused_tp1 and not use_lipq,
         )
-        return jax.jit(
+        out = jax.jit(
             lambda u, x0: fn(u, jnp.asarray(x0, jnp.float32))
         )
+        self._sharded_cache[key] = out
+        return out
 
     def solve(self, x0_f: np.ndarray):
         """Cold-start convenience: returns (words, physical plans)."""

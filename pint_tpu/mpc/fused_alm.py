@@ -338,6 +338,9 @@ def _pgd_fused_core(
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
     block = min(block, -(-B // 128) * 128)
+    # VMEM guard: int8 Hessian slab + int32 planes, double-buffered
+    while block > 8 and 2 * block * (Tp * Tp + 16 * Tp) > 12 * 2**20:
+        block //= 2
     rows = -(-B // block) * block
     pad = rows - B
 
@@ -453,6 +456,11 @@ def _alm_fused_core(
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
     block = min(block, -(-B // 128) * 128)
+    # VMEM guard: int8 Hessian + two constraint planes + int32 state
+    while block > 8 and 2 * block * (
+        Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)
+    ) > 12 * 2**20:
+        block //= 2
     rows = -(-B // block) * block
     pad = rows - B
 

@@ -47,15 +47,30 @@ class MPCService:
         iters_per_tick: int = 15,
         use_fused: Optional[bool] = None,
         inputs_per_step: int = 1,
+        g_on_device: Optional[bool] = None,
     ):
         """``inputs_per_step``: m of the underlying MPC problem; the warm
-        -start shift moves one STEP (= m lanes) per tick."""
+        -start shift moves one STEP (= m lanes) per tick.
+
+        ``g_on_device``: compute the fixed-point linear term g from the
+        raw state batch ON DEVICE (f32) inside the tick program instead
+        of `QuantizedQP.g_lane_fixed`'s float64 numpy on the host.  The
+        serving bench measured the host computation dominating the LTI
+        endpoint's latency (232 ms e2e p50 at batch 8192 vs a 52 us
+        device tick, BENCH_full.json `serving`); with the device path
+        one tick is a single dispatch from raw states.  f32 vs f64 can
+        move int32 rounding ties, so it is a self-consistent sibling of
+        the host path (same non-finite guards); ``None`` auto-selects:
+        device on TPU backends, host elsewhere."""
+        from pint_tpu.ops.pallas import on_tpu_backend
+
         self.qqp = qqp
         self.batch = batch
         self.m = inputs_per_step
+        if g_on_device is None:
+            g_on_device = on_tpu_backend()
+        self.g_on_device = g_on_device
         if use_fused is None:
-            from pint_tpu.ops.pallas import on_tpu_backend
-
             use_fused = on_tpu_backend()
         if use_fused:
             from pint_tpu.mpc.fused import FusedPGD
@@ -85,6 +100,29 @@ class MPCService:
 
         self._tick = tick
 
+        # device-side linear term: g = x0 G^T + g_ref, scaled/rounded
+        # with the same non-finite guards as QuantizedQP.g_lane_fixed
+        GT = jnp.asarray(np.asarray(qqp.qp.G).T, jnp.float32)
+        g_ref = jnp.asarray(np.asarray(qqp.qp.g_ref), jnp.float32)
+        g_scale = jnp.float32(qqp.Gq_scale)
+        pad = qqp.padded - qqp.horizon
+
+        @jax.jit
+        def tick_from_states(words, x0_f):
+            g = x0_f @ GT + g_ref
+            g = jnp.nan_to_num(
+                g * g_scale, nan=0.0,
+                posinf=2.0**31 - 1, neginf=-(2.0**31),
+            )
+            gq = jnp.clip(
+                jnp.round(g), -(2.0**31), 2.0**31 - 1
+            ).astype(jnp.int32)
+            if pad:
+                gq = jnp.pad(gq, ((0, 0), (0, pad)))
+            return tick(words, gq)
+
+        self._tick_from_states = tick_from_states
+
     def solve(self, x0_phys: np.ndarray) -> np.ndarray:
         """One service tick: (batch, n) states -> (batch, T) physical
         controls.  Validates and self-heals the warm state."""
@@ -93,9 +131,14 @@ class MPCService:
             raise ValueError(
                 f"service compiled for batch {self.batch}, got {x0.shape[0]}"
             )
-        g_pre = jnp.asarray(self.qqp.g_lane_fixed(x0))
         t0 = time.perf_counter()
-        words, warm, lanes = self._tick(self._warm, g_pre)
+        if self.g_on_device:
+            words, warm, lanes = self._tick_from_states(
+                self._warm, jnp.asarray(x0, jnp.float32)
+            )
+        else:
+            g_pre = jnp.asarray(self.qqp.g_lane_fixed(x0))
+            words, warm, lanes = self._tick(self._warm, g_pre)
         lanes_np = np.asarray(lanes)
         self.stats.last_latency_s = time.perf_counter() - t0
         self.stats.ticks += 1

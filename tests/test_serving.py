@@ -169,3 +169,36 @@ def test_constrained_rti_batch_mismatch(constrained_rti_service):
     svc = constrained_rti_service
     with pytest.raises(ValueError, match="batch"):
         svc.solve(np.zeros((2, 3)))
+
+
+def test_mpc_service_device_g_matches_host_g():
+    """The device-side linear-term path (g_on_device=True) produces
+    controls matching the float64 host path within rounding-tie slack
+    (f32 vs f64 can move int32 ties by one lane unit), with identical
+    validation/self-heal behavior."""
+    import jax.numpy as jnp
+
+    from pint_tpu.mpc import condense_double_integrator, quantize
+    from pint_tpu.serving import MPCService
+
+    qqp = quantize(condense_double_integrator(T=12))
+    B = 16
+    rng = np.random.default_rng(5)
+    x0 = np.stack(
+        [rng.uniform(-3, 3, B), rng.uniform(-1, 1, B)], axis=-1
+    )
+    host = MPCService(qqp, batch=B, iters_per_tick=10, g_on_device=False)
+    dev = MPCService(qqp, batch=B, iters_per_tick=10, g_on_device=True)
+    u_h = host.solve(x0)
+    u_d = dev.solve(x0)
+    assert u_h.shape == u_d.shape
+    # one lane unit of slack per control (tie movement), same box
+    np.testing.assert_allclose(u_d, u_h, atol=2.5 * qqp.u_scale)
+    assert np.abs(u_d).max() <= 127 * qqp.u_scale + 1e-9
+
+    # corrupted-state row self-heals identically
+    x_bad = x0.copy()
+    x_bad[3] = np.nan
+    u_bad = dev.solve(x_bad)
+    assert np.all(u_bad[3] == 0.0)
+    assert dev.stats.resets >= 1
