@@ -49,7 +49,21 @@ from pint_tpu.mpc.fused_alm import _out_struct, on_tpu_backend
 
 Array = jax.Array
 
-__all__ = ["lipq_fused", "pen_fused"]
+__all__ = ["lipq_fused", "lipq_viable", "pen_fused", "pen_viable"]
+
+_VMEM_BUDGET = 14 * 2**20  # double-buffered scoped-VMEM working set
+
+
+def lipq_viable(Tm: int) -> bool:
+    """True when :func:`lipq_fused` fits scoped VMEM at the minimum
+    native block (128 batch columns) for this horizon."""
+    return 2 * (Tm * Tm * 128 * 5) <= _VMEM_BUDGET
+
+
+def pen_viable(C: int, Tm: int) -> bool:
+    """True when :func:`pen_fused` fits scoped VMEM at the minimum
+    native block."""
+    return 2 * (C * Tm * 128 * 6) <= _VMEM_BUDGET
 
 
 def _lipq_kernel_factory(Tm: int, power_iters: int):
@@ -131,9 +145,11 @@ def lipq_fused(
     blk = min(block, -(-B // 128) * 128)
     # VMEM guard: the kernel holds a (Tm, Tm, blk) f32 slab + the int8
     # output, double-buffered across grid steps; Mosaic's scoped VMEM is
-    # ~16 MB, so halve the block until ~12 MB fits (long horizons: T=64
-    # OOMs at blk=128 otherwise)
-    while blk > 8 and 2 * (Tm * Tm * blk * 5) > 14 * 2**20:
+    # ~16 MB.  Native blocks floor at 128 (Pallas TPU requires the
+    # trailing block dim divisible by 128); horizons too large even for
+    # blk=128 must not take this kernel at all (lipq_viable gates the
+    # solvers' auto-selection)
+    while blk > 128 and 2 * (Tm * Tm * blk * 5) > _VMEM_BUDGET:
         blk //= 2
     rows = -(-B // blk) * blk
     pad = rows - B
@@ -250,7 +266,7 @@ def pen_fused(
     C, Tm, B = S_t.shape
     blk = min(block, -(-B // 128) * 128)
     # VMEM guard (see lipq_fused): f32 slab + two int8 outputs
-    while blk > 8 and 2 * (C * Tm * blk * 6) > 14 * 2**20:
+    while blk > 128 and 2 * (C * Tm * blk * 6) > _VMEM_BUDGET:
         blk //= 2
     rows = -(-B // blk) * blk
     pad = rows - B

@@ -348,6 +348,25 @@ class DeviceConstrainedSQP:
     def _auto(self, flag: Optional[bool]) -> bool:
         return self.dev._auto(flag)
 
+    def _use_fused(self) -> bool:
+        """fused flag resolved AND geometry-gated (see
+        DeviceSQP._use_fused): the ALM kernel's slab must fit scoped
+        VMEM at the minimum native block."""
+        from pint_tpu.mpc.fused_alm import alm_viable
+
+        return self._auto(self.fused) and alm_viable(
+            self.dev.n_dec, self.padded_rows
+        )
+
+    def _use_lipq(self) -> bool:
+        from pint_tpu.mpc.condense_fused import lipq_viable, pen_viable
+
+        return (
+            self._auto(self.lipq)
+            and lipq_viable(self.dev.n_dec)
+            and pen_viable(self.n_rows, self.dev.n_dec)
+        )
+
     def _run_inner(self, use_fused, use_lipq, words, ops, lam):
         """Dispatch the ALM inner on the (statically chosen) operand
         layout: kernel-orientation mats (lipq) or batch-first, Pallas
@@ -396,8 +415,8 @@ class DeviceConstrainedSQP:
         d = self.dev
 
         def solve(u_words: Array, x0_f: Array, lam0: Array):
-            use_fused = self._auto(self.fused)
-            use_lipq = self._auto(self.lipq)
+            use_fused = self._use_fused()
+            use_lipq = self._use_lipq()
 
             def outer(k, st):
                 words, lam, prev_cu = st
@@ -498,8 +517,8 @@ class DeviceConstrainedSQP:
                 f"words across tp={tp}"
             )
         block = d.n_dec // tp
-        use_fused = self._auto(self.fused)
-        use_lipq = self._auto(self.lipq)
+        use_fused = self._use_fused()
+        use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 
         def local(u_words: Array, x0_f: Array, lam0: Array):

@@ -721,6 +721,19 @@ class DeviceSQP:
 
         return flag if flag is not None else on_tpu_backend()
 
+    def _use_fused(self) -> bool:
+        """fused flag resolved AND geometry-gated: horizons whose int8
+        Hessian slab cannot fit scoped VMEM at the minimum native block
+        fall back to the XLA inner (graceful long-horizon degradation)."""
+        from pint_tpu.mpc.fused_alm import pgd_viable
+
+        return self._auto(self.fused) and pgd_viable(self.n_dec)
+
+    def _use_lipq(self) -> bool:
+        from pint_tpu.mpc.condense_fused import lipq_viable
+
+        return self._auto(self.lipq) and lipq_viable(self.n_dec)
+
     def _run_inner(self, use_fused, use_lipq, words, x0_f, lanes):
         """Condense (lipq kernel or XLA epilogue) + one full-column PGD
         inner, in all four flag combinations -- the shared body of
@@ -756,8 +769,8 @@ class DeviceSQP:
     @functools.cached_property
     def _solve_jit(self):
         def solve(u_words: Array, x0_f: Array) -> Array:
-            use_fused = self._auto(self.fused)
-            use_lipq = self._auto(self.lipq)
+            use_fused = self._use_fused()
+            use_lipq = self._use_lipq()
 
             def outer(_, words):
                 lanes = unpack_controls(words)[:, : self.n_dec]
@@ -821,8 +834,8 @@ class DeviceSQP:
                 f"words across tp={tp}"
             )
         block = self.n_dec // tp
-        use_fused = self._auto(self.fused)
-        use_lipq = self._auto(self.lipq)
+        use_fused = self._use_fused()
+        use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 
         def local(u_words: Array, x0_f: Array) -> Array:

@@ -47,11 +47,25 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 
 Array = jax.Array
 
-__all__ = ["alm_fused_words", "alm_fused_words_pre",
+__all__ = ["alm_fused_words", "alm_fused_words_pre", "alm_viable",
            "alm_shared_fused_words", "on_tpu_backend", "pgd_fused_words",
-           "pgd_fused_words_pre"]
+           "pgd_fused_words_pre", "pgd_viable"]
 
 from pint_tpu.ops.pallas import on_tpu_backend  # noqa: E402 (re-export)
+
+_VMEM_BUDGET = 14 * 2**20  # double-buffered scoped-VMEM working set
+
+
+def pgd_viable(Tp: int) -> bool:
+    """True when the fused PGD kernel fits scoped VMEM at the minimum
+    native block (128 batch columns) for this horizon."""
+    return 2 * 128 * (Tp * Tp + 16 * Tp) <= _VMEM_BUDGET
+
+
+def alm_viable(Tp: int, Cp: int) -> bool:
+    """True when the fused ALM kernel fits scoped VMEM at the minimum
+    native block."""
+    return 2 * 128 * (Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)) <= _VMEM_BUDGET
 
 
 def _out_struct(shape, dtype, *operands):
@@ -338,8 +352,10 @@ def _pgd_fused_core(
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
     block = min(block, -(-B // 128) * 128)
-    # VMEM guard: int8 Hessian slab + int32 planes, double-buffered
-    while block > 8 and 2 * block * (Tp * Tp + 16 * Tp) > 12 * 2**20:
+    # VMEM guard: int8 Hessian slab + int32 planes, double-buffered;
+    # native blocks floor at 128 (trailing-dim divisibility) -- horizons
+    # too large even then are gated by pgd_viable upstream
+    while block > 128 and 2 * block * (Tp * Tp + 16 * Tp) > _VMEM_BUDGET:
         block //= 2
     rows = -(-B // block) * block
     pad = rows - B
@@ -456,10 +472,11 @@ def _alm_fused_core(
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
     block = min(block, -(-B // 128) * 128)
-    # VMEM guard: int8 Hessian + two constraint planes + int32 state
-    while block > 8 and 2 * block * (
+    # VMEM guard: int8 Hessian + two constraint planes + int32 state;
+    # floor 128, larger geometries gated by alm_viable upstream
+    while block > 128 and 2 * block * (
         Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)
-    ) > 12 * 2**20:
+    ) > _VMEM_BUDGET:
         block //= 2
     rows = -(-B // block) * block
     pad = rows - B
