@@ -294,3 +294,33 @@ def test_sharded_constrained_lipq_tp_mesh_bit_identical():
     w_sh, l_sh = solve(uj, xj, lj)
     assert jnp.array_equal(w_single, w_sh)
     assert jnp.array_equal(l_single, l_sh)
+
+
+def test_vmem_viability_gating():
+    """Kernel auto-selection degrades gracefully with horizon: geometries
+    whose slabs cannot fit scoped VMEM at the minimum native block (128
+    trailing columns, a Pallas TPU requirement) must not select the
+    kernels even when the flag is forced on."""
+    from pint_tpu.mpc import DeviceConstrainedSQP
+    from pint_tpu.mpc.condense_fused import lipq_viable
+    from pint_tpu.mpc.fused_alm import alm_viable, pgd_viable
+
+    assert lipq_viable(64) and lipq_viable(100)
+    assert not lipq_viable(128)            # T=64 unicycle
+    assert pgd_viable(128)                 # fused inner still fits there
+    assert not pgd_viable(256)             # T=128
+
+    d64 = DeviceSQP(horizon=64, lipq=True, fused=True)
+    assert d64._use_fused() and not d64._use_lipq()
+    d128 = DeviceSQP(horizon=128, model=__import__(
+        "pint_tpu.models", fromlist=["Pendulum"]).Pendulum(),
+        Q=np.eye(2), R=np.array([[0.1]]), x_ref=np.zeros(2),
+        lipq=True, fused=True)
+    assert d128._use_fused()               # Tm=128, fits
+    assert not d128._use_lipq()
+
+    c = DeviceConstrainedSQP(
+        DeviceSQP(horizon=32, lipq=True, fused=True),
+        F=[[0.0, 1.0, 0.0]], lipq=True, fused=True)
+    assert c._use_fused() and c._use_lipq()
+    assert not alm_viable(256, 128)
