@@ -53,6 +53,7 @@ from pint_tpu.mpc.sqp_constrained import (
     _Y_SHIFT,
     _alm_batched,
     _alm_batched_cols,
+    _alm_batched_cols_hqt,
 )
 from pint_tpu.models.dynamics import unpack_controls
 
@@ -116,8 +117,9 @@ class DeviceConstrainedSQP:
     flag on dp-major (tp == 1) meshes, where per-shard solves are
     independent -- the default TPU path is the fused kernel in both
     entry points, so solve == dp-sharded-solve holds bit-exactly.
-    tp > 1 keeps the XLA column path (its per-inner psums cannot live
-    inside one kernel)."""
+    On tp > 1 meshes the column path runs both big matvecs as one
+    Pallas kernel per iteration with the exact int32 psums between
+    launches (bit-identical to the pure-XLA column solver)."""
     fused_block: int = 128
     lipq: Optional[bool] = None
     """Run the condensation epilogues as VMEM-resident Pallas kernels:
@@ -549,22 +551,46 @@ class DeviceConstrainedSQP:
                         True, use_lipq, words, ops, lam
                     )
                     return words, lam, c_unit
+                g_r = jax.lax.dynamic_slice_in_dim(
+                    ops["g_pre"], r * block, block, axis=1
+                )
+                kw = dict(
+                    outer=self.alm_outer, inners=d.pgd_iters,
+                    g_shift=d.g_shift, y_shift=_Y_SHIFT,
+                    axis_name="tp", block=block,
+                )
+                if use_fused:
+                    # tp-fused column inner: the two big matvecs run as
+                    # one Pallas kernel per iteration, psum between
+                    # launches (bit-identical to the XLA column path)
+                    if use_lipq:
+                        hqt, sqj = ops["hqt"], ops["sqj"]
+                    else:
+                        hqt = jnp.moveaxis(
+                            jnp.transpose(ops["Hq"], (0, 2, 1)), 0, -1
+                        )
+                        sqj = jnp.moveaxis(
+                            jnp.transpose(ops["Sq"], (0, 2, 1)), 0, -1
+                        )
+                    words, lam = _alm_batched_cols_hqt(
+                        words, g_r, hqt, ops["hs_num"], ops["hs_den"],
+                        sqj, ops["cs_num"], ops["cs_den"], ops["c_off"],
+                        ops["lo_pre"], ops["hi_pre"], ops["eh_num"],
+                        ops["eh_den"], ops["el_num"], ops["el_den"], lam,
+                        kernel_block=self.fused_block, **kw,
+                    )
+                    return words, lam, c_unit
                 if use_lipq:   # column path wants batch-first int8 mats
                     Hq = jnp.transpose(ops["hqt"], (2, 1, 0))
                     Sq = jnp.transpose(ops["sqc"], (2, 0, 1))
                 else:
                     Hq, Sq = ops["Hq"], ops["Sq"]
-                g_r = jax.lax.dynamic_slice_in_dim(
-                    ops["g_pre"], r * block, block, axis=1
-                )
                 words, lam = _alm_batched_cols(
                     words, g_r, Hq, ops["hs_num"], ops["hs_den"],
                     Sq, ops["cs_num"], ops["cs_den"], ops["c_off"],
                     ops["lo_pre"], ops["hi_pre"], ops["eh_num"],
                     ops["eh_den"], ops["el_num"], ops["el_den"], lam,
-                    outer=self.alm_outer, inners=d.pgd_iters,
-                    g_shift=d.g_shift, y_shift=_Y_SHIFT,
-                    axis_name="tp", block=block,
+                    **kw,
                 )
                 return words, lam, c_unit
 
@@ -589,7 +615,7 @@ class DeviceConstrainedSQP:
             # any kernel in the shard body requires disabling varying-
             # manual-axes checking: Pallas kernel internals don't
             # propagate vma tags (see DeviceSQP.sharded_solve_words)
-            check_vma=not fused_tp1 and not use_lipq,
+            check_vma=not use_fused and not use_lipq,
         )
         out = jax.jit(
             lambda u, x0, lam: fn(u, jnp.asarray(x0, jnp.float32), lam)

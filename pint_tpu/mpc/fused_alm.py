@@ -49,7 +49,7 @@ Array = jax.Array
 
 __all__ = ["alm_fused_words", "alm_fused_words_pre", "alm_viable",
            "alm_shared_fused_words", "on_tpu_backend", "pgd_fused_words",
-           "pgd_fused_words_pre", "pgd_viable"]
+           "pgd_fused_words_pre", "pgd_matvec_cols", "pgd_viable"]
 
 from pint_tpu.ops.pallas import on_tpu_backend  # noqa: E402 (re-export)
 
@@ -330,6 +330,68 @@ def _pgd_kernel_factory(Tp, iters, g_shift):
         out_lanes[:] = lanes
 
     return kernel
+
+
+def _matvec_kernel_factory(K: int, Tm: int):
+    def kernel(lanes_ref, hqt_ref, out_ref):
+        # out[j, b] = sum_k hqt[k, j, b] * lanes[k, b], k over this
+        # rank's column block
+        acc = hqt_ref[0].astype(jnp.int32) * lanes_ref[0:1]
+        for k in range(1, K):
+            acc = acc + hqt_ref[k].astype(jnp.int32) * lanes_ref[k : k + 1]
+        out_ref[:] = acc
+
+    return kernel
+
+
+def pgd_matvec_cols(
+    lanes_r: Array,   # (B, K) int32: this rank's iterate columns
+    hqt_r: Array,     # (K, Tm, B) int8: this rank's k-slice of hqt
+    *,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """One Pallas matvec for the tp column path: this rank's columns'
+    contribution to the FULL int32 gradient, ``partial[b, j] = sum_{k in
+    cols_r} H[j, k] u[k]`` (``hqt[k, j] = Hq[j, k]``).  Launched once
+    per inner iteration with an exact int32 psum between launches --
+    the tp-compatible fused shape (SCALING.md round-4 note: relaunching
+    a kernel per iteration still beats the XLA inner 3.9x on chip,
+    EXP_TP_FUSED.json).  Wrap-exact int32 accumulation, so the column
+    solver stays bit-identical to the XLA ``_pgd_batched_h_cols``."""
+    if interpret is None:
+        interpret = not on_tpu_backend()
+    B, K = lanes_r.shape
+    Tm = hqt_r.shape[1]
+    block = min(block, -(-B // 128) * 128)
+    while block > 128 and 2 * block * (K * Tm + 8 * (K + Tm)) > _VMEM_BUDGET:
+        block //= 2
+    rows = -(-B // block) * block
+    pad = rows - B
+    lanes_t = jnp.moveaxis(lanes_r, 0, -1)             # (K, B)
+    if pad:
+        lanes_t = jnp.pad(lanes_t, ((0, 0), (0, pad)))
+        hqt_r = jnp.pad(hqt_r, ((0, 0), (0, 0), (0, pad)))
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (block,),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = _matvec_kernel_factory(K, Tm)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=_out_struct((Tm, rows), jnp.int32, lanes_r, hqt_r),
+            grid=(rows // block,),
+            in_specs=[spec(K), spec(K, Tm)],
+            out_specs=spec(Tm),
+            interpret=interpret,
+        )(lanes_t, hqt_r)
+    return jnp.moveaxis(out, -1, 0)[:B]                # (B, Tm)
 
 
 def _pgd_fused_core(

@@ -212,6 +212,60 @@ def _pgd_batched_h_cols(
     return words
 
 
+def _pgd_batched_h_cols_hqt(
+    u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
+    g_r: Array,       # (B, block) int32: this rank's linear-term columns
+    hqt: Array,       # (Tm, Tm, B) int8, kernel orientation (full)
+    hs_num: Array,    # (B,) int32
+    hs_den: Array,    # (B,) int32
+    *,
+    iters: int,
+    g_shift: int,
+    axis_name: str,
+    block: int,
+    kernel_block: int = 256,
+) -> Array:
+    """:func:`_pgd_batched_h_cols` with the per-rank matvec as a Pallas
+    kernel launched per iteration (the tp-compatible fused shape -- the
+    int32 psum lives BETWEEN launches; SCALING.md round-4 note).
+
+    int32 accumulation is wrap-exact and associative, so the result is
+    bit-identical to `_pgd_batched_h_cols` given
+    ``Hq = jnp.transpose(hqt, (2, 1, 0))``
+    (tests/test_condense_fused.py::test_tp_fused_matvec_bit_identical).
+    """
+    from pint_tpu.mpc.fused_alm import pgd_matvec_cols
+
+    r = jax.lax.axis_index(axis_name)
+    hqt_r = jax.lax.dynamic_slice_in_dim(hqt, r * block, block, axis=0)
+    lower = jnp.full((1,), _lower_words(), jnp.uint32)
+    half = np.int32(1 << (g_shift - 1))
+
+    def body(_, state):
+        words, carry = state
+        lanes = unpack_controls(words)  # (B, block) int32
+        partial = pgd_matvec_cols(
+            lanes, hqt_r, block=kernel_block
+        )  # (B, Tm): our columns' contribution to every gradient row
+        acc = jax.lax.psum(partial, axis_name)
+        acc_blk = jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
+        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
+        step = -(pre + g_r) + carry
+        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+        carry = step - (delta << np.int32(g_shift))
+        words = W.add_signed_saturate(
+            CONTROL_LAYOUT, words, pack_controls(delta)
+        )
+        words = W.max_signed(
+            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
+        )
+        return words, carry
+
+    carry0 = g_r ^ g_r
+    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
+    return words
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantizedSQP:
     """SQP trajectory optimizer on packed int8 plans, for any model exposing

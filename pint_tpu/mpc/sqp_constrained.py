@@ -290,6 +290,117 @@ def _alm_batched_cols(
     return words, lam
 
 
+def _alm_batched_cols_hqt(
+    u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
+    g_r: Array,       # (B, block) int32
+    hqt: Array,       # (Tp, Tp, B) int8 kernel orientation (full)
+    hs_num: Array,
+    hs_den: Array,
+    sqj: Array,       # (Tp, Cp, B) int8 kernel orientation (full)
+    cs_num: Array,
+    cs_den: Array,
+    c_off: Array,     # (B, Cp) int32 (tp-replicated)
+    lo_pre: Array,
+    hi_pre: Array,
+    eh_num: Array,
+    eh_den: Array,
+    el_num: Array,
+    el_den: Array,
+    lam0: Array,      # (B, Cp) int32 (tp-replicated)
+    *,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    axis_name: str,
+    block: int,
+    kernel_block: int = 256,
+) -> Tuple[Array, Array]:
+    """:func:`_alm_batched_cols` with the two big matvecs (objective
+    gradient + constraint evaluation) as ONE per-iteration Pallas kernel
+    over the rank's concatenated column slab, the exact int32 psum
+    between launches (the tp-compatible fused shape, SCALING.md round-4
+    note).  Wrap-exact int32 everywhere, so bit-identical to the XLA
+    column path given the matching batch-first operands
+    (tests/test_condense_fused.py::test_tp_fused_constrained_bit_identical).
+    """
+    from pint_tpu.mpc.fused_alm import pgd_matvec_cols
+
+    r = jax.lax.axis_index(axis_name)
+    Tp = hqt.shape[0]
+    hqt_r = jax.lax.dynamic_slice_in_dim(hqt, r * block, block, axis=0)
+    sqj_r = jax.lax.dynamic_slice_in_dim(sqj, r * block, block, axis=0)
+    comb_r = jnp.concatenate([hqt_r, sqj_r], axis=1)   # (block, Tp+Cp, B)
+    Sq_cols = jnp.transpose(sqj_r, (2, 1, 0))          # (B, Cp, block)
+    lower = jnp.full((1,), _lower_words(), jnp.uint32)
+    half = np.int32(1 << (g_shift - 1))
+    y_half = np.int32((1 << y_shift) >> 1) if y_shift else np.int32(0)
+    y_cap = np.int32((1 << _Y_BITS) - 1)
+
+    def c_pre_of(lanes):
+        partial = pgd_matvec_cols(
+            lanes, sqj_r, block=kernel_block
+        )  # (B, Cp)
+        acc = jax.lax.psum(partial, axis_name)
+        return (acc * cs_num[:, None]) >> cs_den[:, None]
+
+    def inner(_, st):
+        words, carry, ey, lam = st
+        lanes = unpack_controls(words)                 # (B, block)
+        partial = pgd_matvec_cols(
+            lanes, comb_r, block=kernel_block
+        )  # (B, Tp + Cp): gradient AND constraint contributions
+        accb = jax.lax.psum(partial, axis_name)
+        acc_blk = jax.lax.dynamic_slice_in_dim(
+            accb[:, :Tp], r * block, block, axis=1
+        )
+        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
+        c_pre = (accb[:, Tp:] * cs_num[:, None]) >> cs_den[:, None]
+        t = c_pre + c_off + lam
+        y = t - jnp.clip(t, lo_pre, hi_pre) + ey
+        y14 = jnp.clip((y + y_half) >> np.int32(y_shift), -y_cap, y_cap)
+        ey = y - (y14 << np.int32(y_shift))
+        y_hi = y14 >> np.int32(7)
+        y_lo = y14 - (y_hi << np.int32(7))
+        y_stack = jnp.stack(
+            [y_hi.astype(jnp.int8), y_lo.astype(jnp.int8)], axis=1
+        )  # (B, 2, Cp)
+        acc_hl = jax.lax.dot_general(
+            y_stack, Sq_cols,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (B, 2, block): our gradient columns, no collective
+        extra = (
+            (acc_hl[:, 0] * eh_num[:, None]) >> eh_den[:, None]
+        ) + ((acc_hl[:, 1] * el_num[:, None]) >> el_den[:, None])
+        step = -(pre + g_r + extra) + carry
+        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+        carry = step - (delta << np.int32(g_shift))
+        words = W.add_signed_saturate(
+            CONTROL_LAYOUT, words, pack_controls(delta)
+        )
+        words = W.max_signed(
+            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
+        )
+        return words, carry, ey, lam
+
+    def outer_body(_, st):
+        words, carry, ey, lam = st
+        words, carry, ey, lam = jax.lax.fori_loop(
+            0, inners, inner, (words, carry, ey, lam)
+        )
+        t = c_pre_of(unpack_controls(words)) + c_off + lam
+        lam = jnp.clip(t - jnp.clip(t, lo_pre, hi_pre), -_LAM_CAP, _LAM_CAP)
+        return words, carry, ey, lam
+
+    carry0 = g_r ^ g_r
+    ey0 = c_off ^ c_off
+    words, _, _, lam = jax.lax.fori_loop(
+        0, outer, outer_body, (u_words, carry0, ey0, lam0)
+    )
+    return words, lam
+
+
 @dataclasses.dataclass(frozen=True)
 class ConstrainedSQP:
     """SQP trajectory optimizer with hard per-step state constraints

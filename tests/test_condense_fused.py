@@ -324,3 +324,54 @@ def test_vmem_viability_gating():
         F=[[0.0, 1.0, 0.0]], lipq=True, fused=True)
     assert c._use_fused() and c._use_lipq()
     assert not alm_viable(256, 128)
+
+
+@pytest.mark.parametrize("lipq_flag", [False, True])
+def test_tp_fused_matvec_bit_identical(lipq_flag):
+    """tp>1 sharded solve with the per-iteration matvec kernel (fused
+    column path) reproduces the single-device fused solve word for word:
+    int32 accumulation is wrap-exact, so the kernel matvec + psum equals
+    the XLA batched dot + psum bit for bit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    dev = DeviceSQP(**KW, fused=True, fused_block=8,
+                    lipq=lipq_flag, lipq_block=8)
+    B = 8
+    x0 = _x0(B, seed=73)
+    u0 = dev.init_words(B)
+    w_single = dev.solve_words(u0, x0)
+
+    mesh = make_mesh(dp=2, tp=4)
+    solve = dev.sharded_solve_words(mesh)
+    xj = jax.device_put(jnp.asarray(x0), NamedSharding(mesh, P("dp", None)))
+    uj = jax.device_put(u0, NamedSharding(mesh, P("dp", "tp")))
+    assert jnp.array_equal(w_single, solve(uj, xj))
+
+
+@pytest.mark.parametrize("lipq_flag", [False, True])
+def test_tp_fused_constrained_bit_identical(lipq_flag):
+    """tp>1 sharded constrained solve with the per-iteration combined
+    matvec kernel reproduces the single-device fused solve exactly
+    (words AND multipliers)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pint_tpu.parallel import make_mesh
+
+    devc = _mk_con(fused=True, fused_block=8,
+                   lipq=lipq_flag, lipq_block=8)
+    B = 8
+    x0 = _x0(B, seed=79)
+    u0 = devc.init_words(B)
+    w_single, l_single = devc.solve_words(u0, x0)
+
+    mesh = make_mesh(dp=2, tp=4)
+    solve = devc.sharded_solve_words(mesh)
+    row = NamedSharding(mesh, P("dp", None))
+    xj = jax.device_put(jnp.asarray(x0), row)
+    uj = jax.device_put(u0, NamedSharding(mesh, P("dp", "tp")))
+    lj = jax.device_put(devc.init_lam(B), row)
+    w_sh, l_sh = solve(uj, xj, lj)
+    assert jnp.array_equal(w_single, w_sh)
+    assert jnp.array_equal(l_single, l_sh)

@@ -299,9 +299,11 @@ def test_sharded_fused_constrained_bit_identical():
 
 
 def test_sharded_fused_flag_ignored_on_tp_meshes(monkeypatch):
-    """fused=True on a tp>1 mesh must keep the XLA column path (the
-    per-iteration psums cannot live inside one kernel) and still match
-    the single-device solve bit for bit."""
+    """fused=True on a tp>1 mesh must NOT take the one-launch fused
+    inners (the per-iteration psums cannot live inside one kernel --
+    the tp path uses the per-iteration matvec kernel instead,
+    tests/test_condense_fused.py) and still match the single-device
+    solve bit for bit."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -291,6 +291,21 @@ def main() -> None:
     check("constrained lipq full solve: fused == XLA inner",
           bool(jnp.all(cw9f == cw9x)) and bool(jnp.all(cl9f == cl9x)))
 
+    # per-iteration matvec kernel (the tp column path's fused form) vs
+    # the int32 einsum, natively compiled: wrap-exact, must be bitwise
+    from pint_tpu.mpc.fused_alm import pgd_matvec_cols
+
+    K10 = 8
+    hqt10 = hqt9[:K10]                                 # (K, Tm, B)
+    lanes10 = jnp.asarray(rng7.integers(
+        -127, 128, (B7, K10), dtype=np.int32))
+    got10 = jax.jit(lambda l, h: pgd_matvec_cols(
+        l, h, block=128, interpret=False))(lanes10, hqt10)
+    exp10 = jnp.einsum(
+        "bk,kjb->bj", lanes10, hqt10.astype(jnp.int32))
+    check("tp matvec kernel == int32 einsum",
+          bool(jnp.all(got10 == exp10)))
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
