@@ -13,7 +13,7 @@ from pint_tpu.models.dynamics import unpack_controls
 T0 = time.time()
 note = lambda m: print(f"[diff {time.time()-T0:6.1f}s] {m}",
                        file=sys.stderr, flush=True)
-assert wait_device_ready(log=note)
+assert wait_device_ready(total_budget_s=3000.0, log=note)
 batch = 4096
 kw = dict(horizon=32, sqp_iters=4, pgd_iters=30,
           Q=np.diag([1.0, 1.0, 0.005]), R=np.diag([0.005, 0.005]),
