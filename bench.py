@@ -664,9 +664,13 @@ def bench_serving(overhead, reps=30, b_lti=8192, b_rti=4096) -> dict:
     svc = MPCService(qqp, batch=b, iters_per_tick=15)
     x0 = np.stack([rng.uniform(-3, 3, b), rng.uniform(-1, 1, b)], axis=-1)
     g = jnp.asarray(qqp.g_lane_fixed(x0))
+    # the LTI tick is ~50 us; the chain must dwarf the ~30 ms fetch
+    # overhead or the subtraction is pure noise (a 64-tick chain once
+    # measured 0.0 us) -- 2048 ticks ~ 100 ms per sample
     sec = time_chained(
         lambda w, gg: svc._tick(w, gg)[1], svc._solver.init_words(b), g,
-        inner=64, reps=5, overhead=overhead, stats_out=_spread("serving_mpc"),
+        inner=2048, reps=5, overhead=overhead,
+        stats_out=_spread("serving_mpc"),
     )
     out["mpc_tick_device_us"] = sec * 1e6
     out["mpc_ticks_per_s_device"] = 1.0 / sec
