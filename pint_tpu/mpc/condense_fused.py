@@ -150,7 +150,7 @@ def lipq_fused(
     # blk=128 must not take this kernel at all (lipq_viable gates the
     # solvers' auto-selection)
     while blk > 128 and 2 * (Tm * Tm * blk * 5) > _VMEM_BUDGET:
-        blk //= 2
+        blk -= 128
     rows = -(-B // blk) * blk
     pad = rows - B
     if pad:
@@ -267,7 +267,7 @@ def pen_fused(
     blk = min(block, -(-B // 128) * 128)
     # VMEM guard (see lipq_fused): f32 slab + two int8 outputs
     while blk > 128 and 2 * (C * Tm * blk * 6) > _VMEM_BUDGET:
-        blk //= 2
+        blk -= 128
     rows = -(-B // blk) * blk
     pad = rows - B
     if pad:

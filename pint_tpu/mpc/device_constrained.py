@@ -519,7 +519,16 @@ class DeviceConstrainedSQP:
                 f"words across tp={tp}"
             )
         block = d.n_dec // tp
-        use_fused = self._use_fused()
+        if tp == 1:
+            use_fused = self._use_fused()
+        else:
+            # gate on the per-rank combined matvec slab (see
+            # DeviceSQP.sharded_solve_words)
+            from pint_tpu.mpc.fused_alm import matvec_viable
+
+            use_fused = self._auto(self.fused) and matvec_viable(
+                block, d.n_dec + self.padded_rows
+            )
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 

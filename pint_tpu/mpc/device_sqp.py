@@ -843,7 +843,18 @@ class DeviceSQP:
                 f"words across tp={tp}"
             )
         block = self.n_dec // tp
-        use_fused = self._use_fused()
+        if tp == 1:
+            use_fused = self._use_fused()
+        else:
+            # the tp>1 path's kernel is the per-rank matvec, whose slab
+            # is a factor tp smaller than the one-launch kernel's --
+            # gate on ITS footprint, not pgd_viable's (a horizon too big
+            # for the one-launch kernel can still run the matvec kernel)
+            from pint_tpu.mpc.fused_alm import matvec_viable
+
+            use_fused = self._auto(self.fused) and matvec_viable(
+                block, self.n_dec
+            )
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 

@@ -48,8 +48,9 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 Array = jax.Array
 
 __all__ = ["alm_fused_words", "alm_fused_words_pre", "alm_viable",
-           "alm_shared_fused_words", "on_tpu_backend", "pgd_fused_words",
-           "pgd_fused_words_pre", "pgd_matvec_cols", "pgd_viable"]
+           "alm_shared_fused_words", "matvec_viable", "on_tpu_backend",
+           "pgd_fused_words", "pgd_fused_words_pre", "pgd_matvec_cols",
+           "pgd_viable"]
 
 from pint_tpu.ops.pallas import on_tpu_backend  # noqa: E402 (re-export)
 
@@ -66,6 +67,15 @@ def alm_viable(Tp: int, Cp: int) -> bool:
     """True when the fused ALM kernel fits scoped VMEM at the minimum
     native block."""
     return 2 * 128 * (Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)) <= _VMEM_BUDGET
+
+
+def matvec_viable(K: int, rows: int) -> bool:
+    """True when the per-iteration column matvec kernel
+    (:func:`pgd_matvec_cols`, K-column slab against ``rows`` output
+    rows) fits scoped VMEM at the minimum native block -- the tp>1
+    paths' footprint, a factor ``tp`` smaller than the one-launch
+    kernels'."""
+    return 2 * 128 * (K * rows + 8 * (K + rows)) <= _VMEM_BUDGET
 
 
 def _out_struct(shape, dtype, *operands):
@@ -365,7 +375,7 @@ def pgd_matvec_cols(
     Tm = hqt_r.shape[1]
     block = min(block, -(-B // 128) * 128)
     while block > 128 and 2 * block * (K * Tm + 8 * (K + Tm)) > _VMEM_BUDGET:
-        block //= 2
+        block -= 128
     rows = -(-B // block) * block
     pad = rows - B
     lanes_t = jnp.moveaxis(lanes_r, 0, -1)             # (K, B)
@@ -418,7 +428,7 @@ def _pgd_fused_core(
     # native blocks floor at 128 (trailing-dim divisibility) -- horizons
     # too large even then are gated by pgd_viable upstream
     while block > 128 and 2 * block * (Tp * Tp + 16 * Tp) > _VMEM_BUDGET:
-        block //= 2
+        block -= 128
     rows = -(-B // block) * block
     pad = rows - B
 
@@ -539,7 +549,7 @@ def _alm_fused_core(
     while block > 128 and 2 * block * (
         Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)
     ) > _VMEM_BUDGET:
-        block //= 2
+        block -= 128
     rows = -(-B // block) * block
     pad = rows - B
 

@@ -159,6 +159,46 @@ def _pgd_batched_h(
     return words
 
 
+def _pgd_cols_loop(
+    u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
+    g_r: Array,       # (B, block) int32: this rank's linear-term columns
+    hs_num: Array,
+    hs_den: Array,
+    acc_of,           # lanes (B, block) -> (B, block) reduced accumulator
+    *,
+    iters: int,
+    g_shift: int,
+) -> Array:
+    """Shared column-sharded PGD iteration: ``acc_of`` supplies this
+    rank's psum-reduced raw int32 gradient accumulator block (the only
+    thing the two column variants differ in); everything else -- step
+    scaling, error feedback, saturating packed update -- is one body, so
+    the variants cannot drift apart (the lockstep rule of
+    _alm_batched_cols' docstring, now enforced by construction)."""
+    lower = jnp.full((1,), _lower_words(), jnp.uint32)
+    half = np.int32(1 << (g_shift - 1))
+
+    def body(_, state):
+        words, carry = state
+        lanes = unpack_controls(words)  # (B, block) int32
+        acc_blk = acc_of(lanes)
+        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
+        step = -(pre + g_r) + carry
+        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
+        carry = step - (delta << np.int32(g_shift))
+        words = W.add_signed_saturate(
+            CONTROL_LAYOUT, words, pack_controls(delta)
+        )
+        words = W.max_signed(
+            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
+        )
+        return words, carry
+
+    carry0 = g_r ^ g_r
+    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
+    return words
+
+
 def _pgd_batched_h_cols(
     u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
     g_r: Array,       # (B, block) int32: this rank's linear-term columns
@@ -181,12 +221,8 @@ def _pgd_batched_h_cols(
     rank's columns (tests/test_device_sqp.py)."""
     r = jax.lax.axis_index(axis_name)
     Hq_cols = jax.lax.dynamic_slice_in_dim(Hq, r * block, block, axis=2)
-    lower = jnp.full((1,), _lower_words(), jnp.uint32)
-    half = np.int32(1 << (g_shift - 1))
 
-    def body(_, state):
-        words, carry = state
-        lanes = unpack_controls(words)  # (B, block) int32
+    def acc_of(lanes):
         partial = jax.lax.dot_general(
             lanes.astype(jnp.int8),
             Hq_cols,
@@ -194,22 +230,12 @@ def _pgd_batched_h_cols(
             preferred_element_type=jnp.int32,
         )  # (B, Tp) = our columns' contribution to every gradient row
         acc = jax.lax.psum(partial, axis_name)
-        acc_blk = jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
-        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
-        step = -(pre + g_r) + carry
-        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
-        carry = step - (delta << np.int32(g_shift))
-        words = W.add_signed_saturate(
-            CONTROL_LAYOUT, words, pack_controls(delta)
-        )
-        words = W.max_signed(
-            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
-        )
-        return words, carry
+        return jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
 
-    carry0 = g_r ^ g_r
-    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
-    return words
+    return _pgd_cols_loop(
+        u_words, g_r, hs_num, hs_den, acc_of,
+        iters=iters, g_shift=g_shift,
+    )
 
 
 def _pgd_batched_h_cols_hqt(
@@ -238,32 +264,18 @@ def _pgd_batched_h_cols_hqt(
 
     r = jax.lax.axis_index(axis_name)
     hqt_r = jax.lax.dynamic_slice_in_dim(hqt, r * block, block, axis=0)
-    lower = jnp.full((1,), _lower_words(), jnp.uint32)
-    half = np.int32(1 << (g_shift - 1))
 
-    def body(_, state):
-        words, carry = state
-        lanes = unpack_controls(words)  # (B, block) int32
+    def acc_of(lanes):
         partial = pgd_matvec_cols(
             lanes, hqt_r, block=kernel_block
         )  # (B, Tm): our columns' contribution to every gradient row
         acc = jax.lax.psum(partial, axis_name)
-        acc_blk = jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
-        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
-        step = -(pre + g_r) + carry
-        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
-        carry = step - (delta << np.int32(g_shift))
-        words = W.add_signed_saturate(
-            CONTROL_LAYOUT, words, pack_controls(delta)
-        )
-        words = W.max_signed(
-            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
-        )
-        return words, carry
+        return jax.lax.dynamic_slice_in_dim(acc, r * block, block, axis=1)
 
-    carry0 = g_r ^ g_r
-    words, _ = jax.lax.fori_loop(0, iters, body, (u_words, carry0))
-    return words
+    return _pgd_cols_loop(
+        u_words, g_r, hs_num, hs_den, acc_of,
+        iters=iters, g_shift=g_shift,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

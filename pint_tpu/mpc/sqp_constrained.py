@@ -174,18 +174,11 @@ def _alm_batched(
     return words, lam
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("outer", "inners", "g_shift", "y_shift",
-                     "axis_name", "block"),
-)
-def _alm_batched_cols(
+def _alm_cols_loop(
     u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
-    g_r: Array,       # (B, block) int32: this rank's linear-term columns
-    Hq: Array,        # (B, Tp, Tp) int8 per-problem Hessian (tp-replicated)
+    g_r: Array,       # (B, block) int32
     hs_num: Array,
     hs_den: Array,
-    Sq: Array,        # (B, Cp, Tp) int8 constraint rows (tp-replicated)
     cs_num: Array,
     cs_den: Array,
     c_off: Array,     # (B, Cp) int32 (tp-replicated)
@@ -196,56 +189,39 @@ def _alm_batched_cols(
     el_num: Array,
     el_den: Array,
     lam0: Array,      # (B, Cp) int32 (tp-replicated)
+    Sq_cols: Array,   # (B, Cp, block) int8: this rank's constraint cols
+    gradcon_of,       # lanes -> (acc_blk (B, block), c_acc (B, Cp)), reduced
+    c_acc_of,         # lanes -> c_acc (B, Cp), reduced
     *,
     outer: int,
     inners: int,
     g_shift: int,
     y_shift: int,
-    axis_name: str,
-    block: int,
 ) -> Tuple[Array, Array]:
-    """Column-sharded :func:`_alm_batched`: the horizon splits into
-    ``block``-wide column blocks across mesh axis ``axis_name`` (the
-    per-problem-operand form of parallel.solver.ShardedConstrainedPGD.
-    _local_solve -- keep the three in lockstep, bit-identity is tested).
-
-    Per inner iteration: TWO exact int32 psums (objective gradient and
-    constraint evaluation); the constraint-row plane (violations, error
-    feedback, multipliers) is tp-replicated -- every rank recomputes it
-    from the psum-reduced values with identical integer ops -- and the
-    penalty-gradient matmul contracts over the full local row plane into
-    only this rank's columns, collective-free."""
-    r = jax.lax.axis_index(axis_name)
-    Hq_cols = jax.lax.dynamic_slice_in_dim(Hq, r * block, block, axis=2)
-    Sq_cols = jax.lax.dynamic_slice_in_dim(Sq, r * block, block, axis=2)
+    """Shared column-sharded ALM iteration (the per-problem-operand form
+    of parallel.solver.ShardedConstrainedPGD._local_solve -- bit-identity
+    across the variants is tested).  ``gradcon_of`` supplies the
+    psum-reduced raw objective-gradient block and constraint
+    accumulator; ``c_acc_of`` the constraint accumulator alone (the
+    outer multiplier update).  Everything else -- the 14-bit split
+    penalty gradient with error feedback, the y backprop into this
+    rank's columns, the saturating packed update -- is ONE body, so the
+    variants cannot drift apart."""
     lower = jnp.full((1,), _lower_words(), jnp.uint32)
     half = np.int32(1 << (g_shift - 1))
     y_half = np.int32((1 << y_shift) >> 1) if y_shift else np.int32(0)
     y_cap = np.int32((1 << _Y_BITS) - 1)
 
     def c_pre_of(lanes):
-        partial = jax.lax.dot_general(
-            lanes.astype(jnp.int8), Sq_cols,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (B, Cp): this rank's column contribution
-        acc = jax.lax.psum(partial, axis_name)
-        return (acc * cs_num[:, None]) >> cs_den[:, None]
+        return (c_acc_of(lanes) * cs_num[:, None]) >> cs_den[:, None]
 
     def inner(_, st):
         words, carry, ey, lam = st
         lanes = unpack_controls(words)                   # (B, block)
-        partial = jax.lax.dot_general(
-            lanes.astype(jnp.int8), Hq_cols,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (B, Tp)
-        acc = jax.lax.psum(partial, axis_name)
-        acc_blk = jax.lax.dynamic_slice_in_dim(
-            acc, r * block, block, axis=1
-        )
+        acc_blk, c_acc = gradcon_of(lanes)
         pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
-        t = c_pre_of(lanes) + c_off + lam
+        c_pre = (c_acc * cs_num[:, None]) >> cs_den[:, None]
+        t = c_pre + c_off + lam
         y = t - jnp.clip(t, lo_pre, hi_pre) + ey
         y14 = jnp.clip((y + y_half) >> np.int32(y_shift), -y_cap, y_cap)
         ey = y - (y14 << np.int32(y_shift))
@@ -288,6 +264,72 @@ def _alm_batched_cols(
         0, outer, outer_body, (u_words, carry0, ey0, lam0)
     )
     return words, lam
+
+
+def _alm_batched_cols(
+    u_words: Array,   # (B, block/4) uint32: this rank's iterate columns
+    g_r: Array,       # (B, block) int32: this rank's linear-term columns
+    Hq: Array,        # (B, Tp, Tp) int8 per-problem Hessian (tp-replicated)
+    hs_num: Array,
+    hs_den: Array,
+    Sq: Array,        # (B, Cp, Tp) int8 constraint rows (tp-replicated)
+    cs_num: Array,
+    cs_den: Array,
+    c_off: Array,     # (B, Cp) int32 (tp-replicated)
+    lo_pre: Array,
+    hi_pre: Array,
+    eh_num: Array,
+    eh_den: Array,
+    el_num: Array,
+    el_den: Array,
+    lam0: Array,      # (B, Cp) int32 (tp-replicated)
+    *,
+    outer: int,
+    inners: int,
+    g_shift: int,
+    y_shift: int,
+    axis_name: str,
+    block: int,
+) -> Tuple[Array, Array]:
+    """Column-sharded :func:`_alm_batched`: the horizon splits into
+    ``block``-wide column blocks across mesh axis ``axis_name``.
+
+    Per inner iteration: TWO exact int32 psums (objective gradient and
+    constraint evaluation); the constraint-row plane (violations, error
+    feedback, multipliers) is tp-replicated -- every rank recomputes it
+    from the psum-reduced values with identical integer ops -- and the
+    penalty-gradient matmul contracts over the full local row plane into
+    only this rank's columns, collective-free."""
+    r = jax.lax.axis_index(axis_name)
+    Hq_cols = jax.lax.dynamic_slice_in_dim(Hq, r * block, block, axis=2)
+    Sq_cols = jax.lax.dynamic_slice_in_dim(Sq, r * block, block, axis=2)
+
+    def c_acc_of(lanes):
+        partial = jax.lax.dot_general(
+            lanes.astype(jnp.int8), Sq_cols,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (B, Cp): this rank's column contribution
+        return jax.lax.psum(partial, axis_name)
+
+    def gradcon_of(lanes):
+        partial = jax.lax.dot_general(
+            lanes.astype(jnp.int8), Hq_cols,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (B, Tp)
+        acc = jax.lax.psum(partial, axis_name)
+        acc_blk = jax.lax.dynamic_slice_in_dim(
+            acc, r * block, block, axis=1
+        )
+        return acc_blk, c_acc_of(lanes)
+
+    return _alm_cols_loop(
+        u_words, g_r, hs_num, hs_den, cs_num, cs_den, c_off, lo_pre,
+        hi_pre, eh_num, eh_den, el_num, el_den, lam0, Sq_cols,
+        gradcon_of, c_acc_of,
+        outer=outer, inners=inners, g_shift=g_shift, y_shift=y_shift,
+    )
 
 
 def _alm_batched_cols_hqt(
@@ -332,21 +374,14 @@ def _alm_batched_cols_hqt(
     sqj_r = jax.lax.dynamic_slice_in_dim(sqj, r * block, block, axis=0)
     comb_r = jnp.concatenate([hqt_r, sqj_r], axis=1)   # (block, Tp+Cp, B)
     Sq_cols = jnp.transpose(sqj_r, (2, 1, 0))          # (B, Cp, block)
-    lower = jnp.full((1,), _lower_words(), jnp.uint32)
-    half = np.int32(1 << (g_shift - 1))
-    y_half = np.int32((1 << y_shift) >> 1) if y_shift else np.int32(0)
-    y_cap = np.int32((1 << _Y_BITS) - 1)
 
-    def c_pre_of(lanes):
+    def c_acc_of(lanes):
         partial = pgd_matvec_cols(
             lanes, sqj_r, block=kernel_block
         )  # (B, Cp)
-        acc = jax.lax.psum(partial, axis_name)
-        return (acc * cs_num[:, None]) >> cs_den[:, None]
+        return jax.lax.psum(partial, axis_name)
 
-    def inner(_, st):
-        words, carry, ey, lam = st
-        lanes = unpack_controls(words)                 # (B, block)
+    def gradcon_of(lanes):
         partial = pgd_matvec_cols(
             lanes, comb_r, block=kernel_block
         )  # (B, Tp + Cp): gradient AND constraint contributions
@@ -354,51 +389,14 @@ def _alm_batched_cols_hqt(
         acc_blk = jax.lax.dynamic_slice_in_dim(
             accb[:, :Tp], r * block, block, axis=1
         )
-        pre = (acc_blk * hs_num[:, None]) >> hs_den[:, None]
-        c_pre = (accb[:, Tp:] * cs_num[:, None]) >> cs_den[:, None]
-        t = c_pre + c_off + lam
-        y = t - jnp.clip(t, lo_pre, hi_pre) + ey
-        y14 = jnp.clip((y + y_half) >> np.int32(y_shift), -y_cap, y_cap)
-        ey = y - (y14 << np.int32(y_shift))
-        y_hi = y14 >> np.int32(7)
-        y_lo = y14 - (y_hi << np.int32(7))
-        y_stack = jnp.stack(
-            [y_hi.astype(jnp.int8), y_lo.astype(jnp.int8)], axis=1
-        )  # (B, 2, Cp)
-        acc_hl = jax.lax.dot_general(
-            y_stack, Sq_cols,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (B, 2, block): our gradient columns, no collective
-        extra = (
-            (acc_hl[:, 0] * eh_num[:, None]) >> eh_den[:, None]
-        ) + ((acc_hl[:, 1] * el_num[:, None]) >> el_den[:, None])
-        step = -(pre + g_r + extra) + carry
-        delta = jnp.clip((step + half) >> np.int32(g_shift), -128, 127)
-        carry = step - (delta << np.int32(g_shift))
-        words = W.add_signed_saturate(
-            CONTROL_LAYOUT, words, pack_controls(delta)
-        )
-        words = W.max_signed(
-            CONTROL_LAYOUT, words, jnp.broadcast_to(lower, words.shape)
-        )
-        return words, carry, ey, lam
+        return acc_blk, accb[:, Tp:]
 
-    def outer_body(_, st):
-        words, carry, ey, lam = st
-        words, carry, ey, lam = jax.lax.fori_loop(
-            0, inners, inner, (words, carry, ey, lam)
-        )
-        t = c_pre_of(unpack_controls(words)) + c_off + lam
-        lam = jnp.clip(t - jnp.clip(t, lo_pre, hi_pre), -_LAM_CAP, _LAM_CAP)
-        return words, carry, ey, lam
-
-    carry0 = g_r ^ g_r
-    ey0 = c_off ^ c_off
-    words, _, _, lam = jax.lax.fori_loop(
-        0, outer, outer_body, (u_words, carry0, ey0, lam0)
+    return _alm_cols_loop(
+        u_words, g_r, hs_num, hs_den, cs_num, cs_den, c_off, lo_pre,
+        hi_pre, eh_num, eh_den, el_num, el_den, lam0, Sq_cols,
+        gradcon_of, c_acc_of,
+        outer=outer, inners=inners, g_shift=g_shift, y_shift=y_shift,
     )
-    return words, lam
 
 
 @dataclasses.dataclass(frozen=True)
