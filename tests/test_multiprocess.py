@@ -1,8 +1,10 @@
 """True multi-process jax.distributed integration (2 CPU processes).
 
 Validates the real multi-host wiring that the virtual-mesh tests cannot:
-process coordination, global device enumeration, cross-process collectives,
-and the sharded solver running on a mesh that spans processes.
+process coordination, global device enumeration, cross-process
+collectives, the sharded solvers running on a mesh that spans processes
+(including the round-4 lipq + per-iteration-matvec kernels with real
+cross-process psums), and per-process sharded checkpointing.
 """
 
 import pathlib
@@ -80,6 +82,36 @@ WORKER = textwrap.dedent(
     assert full.shape == words.shape
     for s in words.addressable_shards:
         assert (full[s.index] == np.asarray(s.data)).all()
+
+    # device-resident SQP across the process-spanning mesh, with the
+    # round-4 kernels forced on (interpret mode on CPU): lipq
+    # condensation + the per-iteration matvec column inner run under
+    # REAL cross-process psums, and every addressable shard must match
+    # the single-device solve bit for bit
+    from pint_tpu.mpc import DeviceSQP
+
+    dsqp = DeviceSQP(
+        horizon=8, sqp_iters=2, pgd_iters=6,
+        x_ref=np.array([1.0, 0.0, 0.0]),
+        fused=True, fused_block=8, lipq=True, lipq_block=8,
+    )
+    sb = 8
+    rng2 = np.random.default_rng(7)
+    sx = np.stack(
+        [rng2.uniform(-0.2, 0.2, sb), rng2.uniform(-0.2, 0.2, sb),
+         rng2.uniform(0, 1, sb)], -1).astype(np.float32)
+    w_ref = np.asarray(dsqp.solve_words(dsqp.init_words(sb), sx))
+    row = NamedSharding(mesh, P("dp", None))
+    wt = NamedSharding(mesh, P("dp", "tp"))
+    su = jax.make_array_from_callback(
+        (sb, dsqp.n_dec // 4), wt,
+        lambda idx: np.zeros((sb, dsqp.n_dec // 4), np.uint32)[idx],
+    )
+    sxg = jax.make_array_from_callback(sx.shape, row, lambda idx: sx[idx])
+    sw = dsqp.sharded_solve_words(mesh)(su, sxg)
+    jax.block_until_ready(sw)
+    for s in sw.addressable_shards:
+        assert (np.asarray(s.data) == w_ref[s.index]).all()
     print(f"proc {{pid}} OK residual={{r}}", flush=True)
     """
 )
