@@ -1,0 +1,93 @@
+"""Measure the REAL scoped-VMEM ceiling on the attached chip.
+
+Round-4 gated every Pallas kernel on a ~16 MB scoped-VMEM budget
+(double-buffered working set <= 14 MB), which capped the lipq kernel at
+Tm<=107 and the fused PGD inner at Tp<=231 -- the source of the round-4
+"T>=64 window" where the fused inner auto-enabled without the lipq
+determinism carrier (VERDICT r4 weak #1).
+
+This probe shows the 16 MB figure is Mosaic's DEFAULT compiler limit,
+not hardware: with ``CompilerParams(vmem_limit_bytes=127 MiB)`` a copy
+kernel holding progressively larger live VMEM blocks compiles and runs.
+TPU v5e has 128 MB of physical VMEM per core.
+
+Measured on TPU v5 lite (axon), 2026-08-21 -> EXP_VMEM_CEILING.json:
+every size up to 112 MB of live blocks (56 MB in + 56 MB out) ran fine.
+Consequence: ``fused_alm._VMEM_CEIL = 100 MiB`` -- lipq covers Tm<=286
+and the fused PGD inner Tp<=632, closing the window (kernels above the
+default budget pass a raised ``vmem_limit_bytes``; kernels within it
+compile exactly as in round 4).
+
+Run from the repo root: ``python - < exp_vmem_ceiling.py``.
+"""
+
+import json
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fetch_with_timeout(y, t=600):
+    out = [None]
+
+    def f():
+        out[0] = np.asarray(y)
+
+    th = threading.Thread(target=f, daemon=True)
+    th.start()
+    th.join(t)
+    if out[0] is None:
+        raise TimeoutError("fetch hung (pooled chip contention?)")
+    return out[0]
+
+
+def try_mb(mb, limit_mb=127):
+    rows = mb * 1024 * 1024 // (128 * 4)
+    x = jnp.ones((rows, 128), jnp.float32)
+
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    f = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=limit_mb * 1024 * 1024
+        ),
+    )
+    t0 = time.time()
+    try:
+        y = jax.jit(f)(x)
+        v = fetch_with_timeout(y)
+        assert v[0, 0] == 2.0
+        dt = time.time() - t0
+        print(f"live blocks {2*mb} MB, limit {limit_mb} MB: OK {dt:.1f}s",
+              flush=True)
+        return True
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"live blocks {2*mb} MB, limit {limit_mb} MB: FAIL "
+              f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
+              flush=True)
+        return False
+
+
+if __name__ == "__main__":
+    kind = jax.devices()[0].device_kind
+    rows = {}
+    for mb in (8, 16, 24, 32, 48, 56):
+        rows[f"live_{2*mb}mb_ok"] = try_mb(mb)
+        if not rows[f"live_{2*mb}mb_ok"]:
+            break
+    out = {"device_kind": kind, "vmem_limit_mb": 127, **rows}
+    with open("EXP_VMEM_CEILING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))

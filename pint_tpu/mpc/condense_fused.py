@@ -45,25 +45,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pint_tpu.mpc.fused_alm import _out_struct, on_tpu_backend
+from pint_tpu.mpc.fused_alm import (
+    _native_block,
+    _out_struct,
+    _vmem_kwargs,
+    _VMEM_BUDGET,
+    _VMEM_CEIL,
+    on_tpu_backend,
+)
 
 Array = jax.Array
 
 __all__ = ["lipq_fused", "lipq_viable", "pen_fused", "pen_viable"]
 
-_VMEM_BUDGET = 14 * 2**20  # double-buffered scoped-VMEM working set
-
 
 def lipq_viable(Tm: int) -> bool:
-    """True when :func:`lipq_fused` fits scoped VMEM at the minimum
-    native block (128 batch columns) for this horizon."""
-    return 2 * (Tm * Tm * 128 * 5) <= _VMEM_BUDGET
+    """True when :func:`lipq_fused` fits physical VMEM (raised-limit
+    ceiling, ``fused_alm._VMEM_CEIL`` -- the ~16 MB scoped budget is
+    Mosaic's default limit, not the v5e's 128 MB hardware) at the
+    minimum native block (128 batch columns): Tm <= 286, covering the
+    whole shipped horizon table (T=128 at m=2 is Tm=256)."""
+    return 2 * (Tm * Tm * 128 * 5) <= _VMEM_CEIL
 
 
 def pen_viable(C: int, Tm: int) -> bool:
-    """True when :func:`pen_fused` fits scoped VMEM at the minimum
+    """True when :func:`pen_fused` fits physical VMEM at the minimum
     native block."""
-    return 2 * (C * Tm * 128 * 6) <= _VMEM_BUDGET
+    return 2 * (C * Tm * 128 * 6) <= _VMEM_CEIL
 
 
 def _lipq_kernel_factory(Tm: int, power_iters: int):
@@ -99,7 +107,11 @@ def _lipq_kernel_factory(Tm: int, power_iters: int):
                 hm, jnp.max(jnp.abs(ht_ref[k]), axis=0, keepdims=True)
             )
 
-        scale = np.float32(127.0) / hm                  # (1, bb)
+        # clamp the denominator: zero-padded batch columns (and any
+        # degenerate all-zero slab) have hm == 0, and 0 * inf = NaN fed
+        # into an int8 astype is unspecified in Mosaic/interpret.  Real
+        # columns have hm >> 1e-30 so their bits are untouched.
+        scale = np.float32(127.0) / jnp.maximum(hm, np.float32(1e-30))
         for k in range(Tm):
             # hqt[k, j, b] = round(Ht[k, j, b] * 127 / hmax): contiguous
             # leading-axis reads/writes.  The inner kernels consume hqt
@@ -142,7 +154,7 @@ def lipq_fused(
         interpret = not on_tpu_backend()
     Tm, Tm2, B = Ht.shape
     assert Tm == Tm2, f"Ht must be (Tm, Tm, B), got {Ht.shape}"
-    blk = min(block, -(-B // 128) * 128)
+    blk = min(_native_block(block, interpret), -(-B // 128) * 128)
     # VMEM guard: the kernel holds a (Tm, Tm, blk) f32 slab + the int8
     # output, double-buffered across grid steps; Mosaic's scoped VMEM is
     # ~16 MB.  Native blocks floor at 128 (Pallas TPU requires the
@@ -165,6 +177,7 @@ def lipq_fused(
         )
 
     kern = _lipq_kernel_factory(Tm, power_iters)
+    ws = 2 * (Tm * Tm * blk * 5)
     with jax.enable_x64(False):
         hqt, lip, hmax = pl.pallas_call(
             kern,
@@ -177,6 +190,7 @@ def lipq_fused(
             in_specs=[spec(Tm, Tm)],
             out_specs=(spec(Tm, Tm), spec(1), spec(1)),
             interpret=interpret,
+            **_vmem_kwargs(ws, interpret),
         )(Ht)
     return hqt[:, :, :B], lip[0, :B], hmax[0, :B]
 
@@ -227,7 +241,9 @@ def _pen_kernel_factory(C: int, Tm: int, power_iters: int):
         # quantize with scale = 127/max|S| (the same multiply form as
         # lipq_fused; NOT 1/s_scale, whose double rounding could land a
         # quotient one ulp away from the reference recompute)
-        scale = np.float32(127.0) / sm                  # (1, bb)
+        # zero-padding guard as in the lipq kernel: keep padded columns
+        # finite (sm == 0 otherwise makes 0 * inf = NaN -> int8)
+        scale = np.float32(127.0) / jnp.maximum(sm, np.float32(1e-30))
         for c in range(C):
             out_sqc[c] = jnp.clip(
                 jnp.round(s_ref[c] * scale), -127, 127
@@ -264,7 +280,7 @@ def pen_fused(
     if interpret is None:
         interpret = not on_tpu_backend()
     C, Tm, B = S_t.shape
-    blk = min(block, -(-B // 128) * 128)
+    blk = min(_native_block(block, interpret), -(-B // 128) * 128)
     # VMEM guard (see lipq_fused): f32 slab + two int8 outputs
     while blk > 128 and 2 * (C * Tm * blk * 6) > _VMEM_BUDGET:
         blk -= 128
@@ -282,6 +298,7 @@ def pen_fused(
         )
 
     kern = _pen_kernel_factory(C, Tm, power_iters)
+    ws = 2 * (C * Tm * blk * 6)
     with jax.enable_x64(False):
         sqc, sqj, lip, ss, ra = pl.pallas_call(
             kern,
@@ -296,6 +313,7 @@ def pen_fused(
             in_specs=[spec(C, Tm)],
             out_specs=(spec(C, Tm), spec(Tm, C), spec(1), spec(1), spec(1)),
             interpret=interpret,
+            **_vmem_kwargs(ws, interpret),
         )(S_t)
     return (
         sqc[:, :, :B],

@@ -351,14 +351,20 @@ class DeviceConstrainedSQP:
         return self.dev._auto(flag)
 
     def _use_fused(self) -> bool:
-        """fused flag resolved AND geometry-gated (see
-        DeviceSQP._use_fused): the ALM kernel's slab must fit scoped
-        VMEM at the minimum native block."""
+        """fused flag resolved AND geometry-gated AND (on auto)
+        determinism-gated, mirroring :meth:`DeviceSQP._use_fused`: the
+        ALM kernel's slab must fit physical VMEM at the minimum native
+        block, and auto-selection additionally requires the lipq/pen
+        kernels (the in-kernel quantization that carries fused-vs-XLA
+        bit-identity), so (kernel inner, XLA quantize) is reachable only
+        by explicit ``fused=True, lipq=False``."""
         from pint_tpu.mpc.fused_alm import alm_viable
 
-        return self._auto(self.fused) and alm_viable(
-            self.dev.n_dec, self.padded_rows
-        )
+        if not alm_viable(self.dev.n_dec, self.padded_rows):
+            return False
+        if self.fused is not None:
+            return self.fused
+        return self._auto(None) and self._use_lipq()
 
     def _use_lipq(self) -> bool:
         from pint_tpu.mpc.condense_fused import lipq_viable, pen_viable
@@ -522,12 +528,12 @@ class DeviceConstrainedSQP:
         if tp == 1:
             use_fused = self._use_fused()
         else:
-            # gate on the per-rank combined matvec slab (see
-            # DeviceSQP.sharded_solve_words)
-            from pint_tpu.mpc.fused_alm import matvec_viable
+            # gate on the per-rank combined matvec slab + the measured
+            # perf crossover (see DeviceSQP.sharded_solve_words)
+            from pint_tpu.mpc.fused_alm import resolve_tp_fused
 
-            use_fused = self._auto(self.fused) and matvec_viable(
-                block, d.n_dec + self.padded_rows
+            use_fused = resolve_tp_fused(
+                self.fused, block, d.n_dec + self.padded_rows
             )
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused

@@ -729,12 +729,30 @@ class DeviceSQP:
         return flag if flag is not None else on_tpu_backend()
 
     def _use_fused(self) -> bool:
-        """fused flag resolved AND geometry-gated: horizons whose int8
-        Hessian slab cannot fit scoped VMEM at the minimum native block
-        fall back to the XLA inner (graceful long-horizon degradation)."""
+        """fused flag resolved AND geometry-gated AND (on auto)
+        determinism-gated.
+
+        Geometry: horizons whose int8 Hessian slab cannot fit physical
+        VMEM at the minimum native block fall back to the XLA inner
+        (graceful long-horizon degradation).
+
+        Determinism: on ``fused=None`` auto-selection the kernel inner
+        additionally requires :meth:`_use_lipq` -- the lipq kernel is
+        what carries the fused-vs-XLA full-solve bit-identity (all
+        quantization rounding inside one Pallas kernel, EXP_R4.json
+        0/4096).  Without it the condensation compiles differently
+        around a custom-call inner than around the XLA fori_loop inner
+        and quantization ties flip (measured 80/4096).  So the
+        potentially-divergent combination (kernel inner, XLA quantize)
+        is reachable only by EXPLICIT ``fused=True, lipq=False`` -- never
+        silently (docs/DESIGN.md determinism contract)."""
         from pint_tpu.mpc.fused_alm import pgd_viable
 
-        return self._auto(self.fused) and pgd_viable(self.n_dec)
+        if not pgd_viable(self.n_dec):
+            return False
+        if self.fused is not None:
+            return self.fused
+        return self._auto(None) and self._use_lipq()
 
     def _use_lipq(self) -> bool:
         from pint_tpu.mpc.condense_fused import lipq_viable
@@ -801,7 +819,12 @@ class DeviceSQP:
 
     @staticmethod
     def _mesh_key(mesh):
+        # the backend is part of the key: the baked-in use_fused/use_lipq
+        # resolution depends on jax.default_backend() at first-call time,
+        # and the platform can legitimately change within a process (the
+        # CLAUDE.md jax.config.update("jax_platforms", "cpu") pattern)
         return (
+            jax.default_backend(),
             tuple(mesh.shape.items()),
             tuple(d.id for d in mesh.devices.flat),
         )
@@ -849,12 +872,14 @@ class DeviceSQP:
             # the tp>1 path's kernel is the per-rank matvec, whose slab
             # is a factor tp smaller than the one-launch kernel's --
             # gate on ITS footprint, not pgd_viable's (a horizon too big
-            # for the one-launch kernel can still run the matvec kernel)
-            from pint_tpu.mpc.fused_alm import matvec_viable
+            # for the one-launch kernel can still run the matvec kernel).
+            # Auto-selection further requires the measured perf
+            # crossover (matvec_wins: below ~32 columns/rank the
+            # per-iteration launch LOSES to the XLA dot, EXP_MATVEC);
+            # explicit fused=True forces the kernel where viable.
+            from pint_tpu.mpc.fused_alm import resolve_tp_fused
 
-            use_fused = self._auto(self.fused) and matvec_viable(
-                block, self.n_dec
-            )
+            use_fused = resolve_tp_fused(self.fused, block, self.n_dec)
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 

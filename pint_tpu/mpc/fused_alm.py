@@ -48,34 +48,105 @@ from pint_tpu.mpc.constrained import _LAM_CAP, _Y_BITS
 Array = jax.Array
 
 __all__ = ["alm_fused_words", "alm_fused_words_pre", "alm_viable",
-           "alm_shared_fused_words", "matvec_viable", "on_tpu_backend",
-           "pgd_fused_words", "pgd_fused_words_pre", "pgd_matvec_cols",
-           "pgd_viable"]
+           "alm_shared_fused_words", "matvec_viable", "matvec_wins",
+           "on_tpu_backend", "pgd_fused_words", "pgd_fused_words_pre",
+           "pgd_matvec_cols", "pgd_viable", "resolve_tp_fused"]
 
 from pint_tpu.ops.pallas import on_tpu_backend  # noqa: E402 (re-export)
 
-_VMEM_BUDGET = 14 * 2**20  # double-buffered scoped-VMEM working set
+_VMEM_BUDGET = 14 * 2**20
+"""Working-set size (double-buffered) under Mosaic's DEFAULT scoped-VMEM
+limit.  Kernels within this budget compile with no compiler params --
+the exact round-4 configuration, byte for byte."""
+
+_VMEM_CEIL = 100 * 2**20
+"""Working-set ceiling with an explicitly raised ``vmem_limit_bytes``.
+The ~16 MB scoped budget is Mosaic's DEFAULT limit, not hardware: TPU
+v5e has 128 MB of physical VMEM per core, and a probe kernel holding
+112 MB of live VMEM blocks compiles and runs on this chip
+(exp_vmem_ceiling.py).  Working sets between ``_VMEM_BUDGET`` and this
+ceiling pass ``CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)``."""
+
+_VMEM_LIMIT_BYTES = 110 * 2**20
+
+
+def _vmem_kwargs(ws_bytes: int, interpret: bool) -> dict:
+    """pallas_call kwargs for a working set of ``ws_bytes``: empty under
+    the default scoped budget (identical compilation to round 4), a
+    raised ``vmem_limit_bytes`` above it (large-horizon kernels)."""
+    if interpret or ws_bytes <= _VMEM_BUDGET:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+    }
+
+
+def _native_block(block: int, interpret: bool) -> int:
+    """Round a requested batch block up to the Pallas TPU trailing-dim
+    granule (128) on native paths: a sub-128 (or non-multiple) block
+    would otherwise surface as an opaque Mosaic
+    trailing-dim-divisibility error.  Interpret mode takes any size
+    (tests and the CPU dryrun deliberately run tiny blocks)."""
+    if interpret or block % 128 == 0:
+        return block
+    return -(-block // 128) * 128
 
 
 def pgd_viable(Tp: int) -> bool:
-    """True when the fused PGD kernel fits scoped VMEM at the minimum
-    native block (128 batch columns) for this horizon."""
-    return 2 * 128 * (Tp * Tp + 16 * Tp) <= _VMEM_BUDGET
+    """True when the fused PGD kernel fits physical VMEM (raised-limit
+    ceiling, see ``_VMEM_CEIL``) at the minimum native block (128 batch
+    columns) for this horizon: Tp <= 632, i.e. every horizon up to
+    T=316 at m=2."""
+    return 2 * 128 * (Tp * Tp + 16 * Tp) <= _VMEM_CEIL
 
 
 def alm_viable(Tp: int, Cp: int) -> bool:
-    """True when the fused ALM kernel fits scoped VMEM at the minimum
+    """True when the fused ALM kernel fits physical VMEM at the minimum
     native block."""
-    return 2 * 128 * (Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)) <= _VMEM_BUDGET
+    return 2 * 128 * (Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp)) <= _VMEM_CEIL
 
 
 def matvec_viable(K: int, rows: int) -> bool:
     """True when the per-iteration column matvec kernel
     (:func:`pgd_matvec_cols`, K-column slab against ``rows`` output
-    rows) fits scoped VMEM at the minimum native block -- the tp>1
+    rows) fits physical VMEM at the minimum native block -- the tp>1
     paths' footprint, a factor ``tp`` smaller than the one-launch
     kernels'."""
-    return 2 * 128 * (K * rows + 8 * (K + rows)) <= _VMEM_BUDGET
+    return 2 * 128 * (K * rows + 8 * (K + rows)) <= _VMEM_CEIL
+
+
+_MATVEC_MIN_COLS = 33
+"""Measured kernel-vs-XLA crossover for the per-iteration column matvec
+(EXP_MATVEC.json): at K=48 columns (tp=2, headline Tm=96) the kernel
+wins 28.0 vs 37.5 us/call; at K=24 (tp=4) it LOSES 11.55 vs 10.46 --
+below ~32 columns the launch overhead of one kernel per iteration
+outweighs the unrolled-FMA advantage.  Auto-selection uses
+:func:`matvec_wins`; an explicit ``fused=True`` still forces the
+kernel (gated only by viability)."""
+
+
+def matvec_wins(K: int, rows: int) -> bool:
+    """True when the per-iteration Pallas matvec is expected to BEAT the
+    XLA batched dot at this column-slab geometry: VMEM-viable and at
+    least ``_MATVEC_MIN_COLS`` columns per rank (the measured
+    crossover).  The tp>1 sharded paths' auto-selection gate."""
+    return matvec_viable(K, rows) and K >= _MATVEC_MIN_COLS
+
+
+def resolve_tp_fused(flag, K: int, rows: int) -> bool:
+    """Resolved ``fused`` flag for the tp>1 column paths (DeviceSQP /
+    DeviceConstrainedSQP ``sharded_solve_words``): an explicit flag is
+    honored wherever the kernel is VMEM-viable; auto (``None``) selects
+    the kernel only where it measures FASTER than the XLA dot
+    (:func:`matvec_wins`) on a TPU backend.  Both paths are bit-identical
+    (int32 accumulation is wrap-exact), so this is purely a perf gate --
+    tested in tests/test_condense_fused.py::test_tp_matvec_crossover_gate.
+    """
+    if flag is not None:
+        return flag and matvec_viable(K, rows)
+    return on_tpu_backend() and matvec_wins(K, rows)
 
 
 def _out_struct(shape, dtype, *operands):
@@ -373,6 +444,7 @@ def pgd_matvec_cols(
         interpret = not on_tpu_backend()
     B, K = lanes_r.shape
     Tm = hqt_r.shape[1]
+    block = _native_block(block, interpret)
     block = min(block, -(-B // 128) * 128)
     while block > 128 and 2 * block * (K * Tm + 8 * (K + Tm)) > _VMEM_BUDGET:
         block -= 128
@@ -392,6 +464,7 @@ def pgd_matvec_cols(
         )
 
     kern = _matvec_kernel_factory(K, Tm)
+    ws = 2 * block * (K * Tm + 8 * (K + Tm))
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -400,6 +473,7 @@ def pgd_matvec_cols(
             in_specs=[spec(K), spec(K, Tm)],
             out_specs=spec(Tm),
             interpret=interpret,
+            **_vmem_kwargs(ws, interpret),
         )(lanes_t, hqt_r)
     return jnp.moveaxis(out, -1, 0)[:B]                # (B, Tm)
 
@@ -423,6 +497,7 @@ def _pgd_fused_core(
     B, Tp = g_pre.shape
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
+    block = _native_block(block, interpret)
     block = min(block, -(-B // 128) * 128)
     # VMEM guard: int8 Hessian slab + int32 planes, double-buffered;
     # native blocks floor at 128 (trailing-dim divisibility) -- horizons
@@ -453,6 +528,7 @@ def _pgd_fused_core(
         )
 
     kern = _pgd_kernel_factory(Tp, iters, g_shift)
+    ws = 2 * block * (Tp * Tp + 16 * Tp)
     with jax.enable_x64(False):
         out_lanes = pl.pallas_call(
             kern,
@@ -463,6 +539,7 @@ def _pgd_fused_core(
             in_specs=[spec(Tp), spec(Tp), spec(Tp, Tp), spec(2)],
             out_specs=spec(Tp),
             interpret=interpret,
+            **_vmem_kwargs(ws, interpret),
         )(*args)
     return pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
 
@@ -543,6 +620,7 @@ def _alm_fused_core(
     Cp = c_off.shape[1]
     # batch is the trailing (128-lane) dim: clamp the block so small
     # batches don't iterate over mostly zero-padded lanes
+    block = _native_block(block, interpret)
     block = min(block, -(-B // 128) * 128)
     # VMEM guard: int8 Hessian + two constraint planes + int32 state;
     # floor 128, larger geometries gated by alm_viable upstream
@@ -578,6 +656,7 @@ def _alm_fused_core(
         )
 
     kern = _kernel_factory(Tp, Cp, outer, inners, g_shift, y_shift)
+    ws = 2 * block * (Tp * Tp + 2 * Tp * Cp + 8 * (Tp + Cp))
     with jax.enable_x64(False):
         out_lanes, out_lam = pl.pallas_call(
             kern,
@@ -593,6 +672,7 @@ def _alm_fused_core(
             ],
             out_specs=(spec(Tp), spec(Cp)),
             interpret=interpret,
+            **_vmem_kwargs(ws, interpret),
         )(*args)
     words = pack_controls(jnp.moveaxis(out_lanes, -1, 0)[:B])
     return words, jnp.moveaxis(out_lam, -1, 0)[:B]

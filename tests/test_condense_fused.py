@@ -298,32 +298,94 @@ def test_sharded_constrained_lipq_tp_mesh_bit_identical():
 
 def test_vmem_viability_gating():
     """Kernel auto-selection degrades gracefully with horizon: geometries
-    whose slabs cannot fit scoped VMEM at the minimum native block (128
+    whose slabs cannot fit PHYSICAL VMEM (the raised-limit ceiling --
+    v5e has 128 MB/core; the ~16 MB figure is Mosaic's default scoped
+    limit, exp_vmem_ceiling.py) at the minimum native block (128
     trailing columns, a Pallas TPU requirement) must not select the
     kernels even when the flag is forced on."""
     from pint_tpu.mpc import DeviceConstrainedSQP
     from pint_tpu.mpc.condense_fused import lipq_viable
     from pint_tpu.mpc.fused_alm import alm_viable, pgd_viable
 
-    assert lipq_viable(64) and lipq_viable(100)
-    assert not lipq_viable(128)            # T=64 unicycle
-    assert pgd_viable(128)                 # fused inner still fits there
-    assert not pgd_viable(256)             # T=128
+    assert lipq_viable(128)                # T=64 unicycle (21 MB)
+    assert lipq_viable(256)                # T=128 unicycle (84 MB)
+    assert not lipq_viable(320)            # 131 MB: over physical VMEM
+    assert pgd_viable(256) and pgd_viable(632)
+    assert not pgd_viable(640)
 
     d64 = DeviceSQP(horizon=64, lipq=True, fused=True)
-    assert d64._use_fused() and not d64._use_lipq()
+    assert d64._use_fused() and d64._use_lipq()
     d128 = DeviceSQP(horizon=128, model=__import__(
         "pint_tpu.models", fromlist=["Pendulum"]).Pendulum(),
         Q=np.eye(2), R=np.array([[0.1]]), x_ref=np.zeros(2),
         lipq=True, fused=True)
-    assert d128._use_fused()               # Tm=128, fits
-    assert not d128._use_lipq()
+    assert d128._use_fused() and d128._use_lipq()
+    # past the lipq ceiling the kernel must drop out even when forced
+    d640 = DeviceSQP(horizon=320, lipq=True, fused=True)
+    assert not d640._use_lipq() and not d640._use_fused()
 
     c = DeviceConstrainedSQP(
         DeviceSQP(horizon=32, lipq=True, fused=True),
         F=[[0.0, 1.0, 0.0]], lipq=True, fused=True)
     assert c._use_fused() and c._use_lipq()
-    assert not alm_viable(256, 128)
+    assert alm_viable(256, 128) and not alm_viable(512, 256)
+
+
+def test_fused_auto_requires_lipq(monkeypatch):
+    """Determinism gate (VERDICT r4 weak #1): on auto (``fused=None``)
+    the kernel inner is selected ONLY where the lipq kernel -- the
+    carrier of the fused-vs-XLA full-solve bit-identity -- also runs.
+    The measured-divergent combination (kernel inner, XLA quantize) must
+    require explicit ``fused=True, lipq=False``."""
+    import pint_tpu.mpc.fused_alm as fa
+
+    monkeypatch.setattr(fa, "on_tpu_backend", lambda: True)
+
+    auto = DeviceSQP(horizon=64)                    # Tm=128: both viable
+    assert auto._use_lipq() and auto._use_fused()
+    # explicitly disabling lipq silently disables the auto fused inner
+    no_lipq = DeviceSQP(horizon=64, lipq=False)
+    assert not no_lipq._use_lipq() and not no_lipq._use_fused()
+    # ... and the divergent pair stays reachable only explicitly
+    forced = DeviceSQP(horizon=64, lipq=False, fused=True)
+    assert forced._use_fused() and not forced._use_lipq()
+
+    # a geometry where the inner fits but lipq does not (Tm=640 needs
+    # pendulum-class m=1 to keep pgd_viable True): auto fused gates OFF
+    # with lipq rather than silently entering the divergent mode
+    from pint_tpu.models import Pendulum
+
+    big = DeviceSQP(horizon=400, model=Pendulum(), Q=np.eye(2),
+                    R=np.array([[0.1]]), x_ref=np.zeros(2))
+    from pint_tpu.mpc.condense_fused import lipq_viable
+    from pint_tpu.mpc.fused_alm import pgd_viable
+
+    assert pgd_viable(big.n_dec) and not lipq_viable(big.n_dec)
+    assert not big._use_lipq() and not big._use_fused()
+    # explicit opt-in still honored there
+    assert DeviceSQP(horizon=400, model=Pendulum(), Q=np.eye(2),
+                     R=np.array([[0.1]]), x_ref=np.zeros(2),
+                     fused=True)._use_fused()
+
+
+def test_tp_matvec_crossover_gate(monkeypatch):
+    """tp>1 fused auto-selection keys on the measured kernel-vs-XLA
+    crossover (EXP_MATVEC: kernel wins at K=48 columns/rank, loses at
+    K=24), while an explicit flag is honored wherever viable."""
+    import pint_tpu.mpc.fused_alm as fa
+    from pint_tpu.mpc.fused_alm import (
+        matvec_viable, matvec_wins, resolve_tp_fused,
+    )
+
+    assert matvec_viable(24, 96) and matvec_viable(48, 96)
+    assert matvec_wins(48, 96)             # tp=2 at Tm=96: kernel wins
+    assert not matvec_wins(24, 96)         # tp=4 at Tm=96: kernel loses
+
+    monkeypatch.setattr(fa, "on_tpu_backend", lambda: True)
+    assert resolve_tp_fused(None, 48, 96)
+    assert not resolve_tp_fused(None, 24, 96)    # auto: XLA dot
+    assert resolve_tp_fused(True, 24, 96)        # explicit: kernel
+    assert not resolve_tp_fused(False, 48, 96)
 
 
 @pytest.mark.parametrize("lipq_flag", [False, True])
