@@ -27,14 +27,45 @@ from pint_tpu.models.dynamics import unpack_controls
 from pint_tpu.mpc.condensed import QuantizedQP
 from pint_tpu.mpc.solver import FixedPointPGD
 
-__all__ = ["ConstrainedRTIService", "MPCService", "RTIService"]
+__all__ = ["ConstrainedRTIService", "MPCService", "RTIService",
+           "CRTI_BUDGET_S", "LTI_BUDGET_S", "RTI_BUDGET_S"]
+
+LTI_BUDGET_S = 0.010
+"""Default real-time budget for the LTI endpoint (:class:`MPCService`):
+a 100 Hz control loop.  Margin on chip: the device tick is 85 us
+(BENCH_full.json ``serving.mpc_tick_device_us``), 117x under budget.
+See BASELINE.md "Real-time budget (SLO)" for the pass/fail table and
+the axon-tunnel caveat on END-TO-END latency in THIS harness (the
+~29 ms device->host fetch is tunnel RTT, not solver time)."""
+
+RTI_BUDGET_S = 0.020
+"""Default real-time budget for the nonlinear RTI endpoint
+(:class:`RTIService`): a 50 Hz loop.  Device tick 4.39 ms -> 4.6x
+margin (BENCH_full.json ``serving.rti_tick_device_us``)."""
+
+CRTI_BUDGET_S = 0.020
+"""Default real-time budget for the constrained RTI endpoint
+(:class:`ConstrainedRTIService`): a 50 Hz loop.  Device tick 7.90 ms ->
+2.5x margin (BENCH_full.json ``serving.crti_tick_device_us``)."""
 
 
 @dataclasses.dataclass
 class ServiceStats:
+    """Per-service counters.  ``deadline_misses`` counts ticks whose
+    end-to-end ``solve()`` latency exceeded the service's configured
+    ``deadline_s`` (the real-time budget); a miss is an SLO violation,
+    not an error -- the response is still returned and validated."""
+
     ticks: int = 0
     resets: int = 0
     last_latency_s: float = 0.0
+    deadline_misses: int = 0
+
+    def record_latency(self, seconds: float, deadline_s) -> None:
+        self.last_latency_s = seconds
+        self.ticks += 1
+        if deadline_s is not None and seconds > deadline_s:
+            self.deadline_misses += 1
 
 
 class MPCService:
@@ -48,6 +79,7 @@ class MPCService:
         use_fused: Optional[bool] = None,
         inputs_per_step: int = 1,
         g_on_device: Optional[bool] = None,
+        deadline_s: Optional[float] = LTI_BUDGET_S,
     ):
         """``inputs_per_step``: m of the underlying MPC problem; the warm
         -start shift moves one STEP (= m lanes) per tick.
@@ -67,6 +99,7 @@ class MPCService:
         self.qqp = qqp
         self.batch = batch
         self.m = inputs_per_step
+        self.deadline_s = deadline_s
         if g_on_device is None:
             g_on_device = on_tpu_backend()
         self.g_on_device = g_on_device
@@ -140,8 +173,7 @@ class MPCService:
             g_pre = jnp.asarray(self.qqp.g_lane_fixed(x0))
             words, warm, lanes = self._tick(self._warm, g_pre)
         lanes_np = np.asarray(lanes)
-        self.stats.last_latency_s = time.perf_counter() - t0
-        self.stats.ticks += 1
+        self.stats.record_latency(time.perf_counter() - t0, self.deadline_s)
 
         # validation: int8 lane range is structurally guaranteed; NaNs are
         # impossible in integer arithmetic, so the checks guard against
@@ -176,11 +208,15 @@ class RTIService:
     corrupted tick's plan from warm-starting the next one).
     """
 
-    def __init__(self, sqp, batch: int):
+    def __init__(self, sqp, batch: int,
+                 deadline_s: Optional[float] = RTI_BUDGET_S):
         """``sqp``: a configured DeviceSQP; set its ``sqp_iters`` to the
-        per-tick RTI count (1 for classic RTI)."""
+        per-tick RTI count (1 for classic RTI).  ``deadline_s``: the
+        real-time budget per tick (default 50 Hz); ticks over budget
+        increment ``stats.deadline_misses``."""
         self.sqp = sqp
         self.batch = batch
+        self.deadline_s = deadline_s
         self.m = sqp.n_ctrl
         self._zero = sqp.init_words(batch)
         self._warm = self._zero
@@ -213,8 +249,7 @@ class RTIService:
         t0 = time.perf_counter()
         warm, u0 = self._tick(self._warm, jnp.asarray(x0, jnp.float32))
         u0_np = np.asarray(u0)
-        self.stats.last_latency_s = time.perf_counter() - t0
-        self.stats.ticks += 1
+        self.stats.record_latency(time.perf_counter() - t0, self.deadline_s)
 
         bad = ~np.isfinite(x0).all(axis=-1)
         if bad.any():
@@ -243,11 +278,14 @@ class ConstrainedRTIService:
     plan and multipliers reset and a zero control back.
     """
 
-    def __init__(self, csqp, batch: int):
+    def __init__(self, csqp, batch: int,
+                 deadline_s: Optional[float] = CRTI_BUDGET_S):
         """``csqp``: a configured DeviceConstrainedSQP; set its
-        ``dev.sqp_iters`` to the per-tick RTI count (1 for classic RTI)."""
+        ``dev.sqp_iters`` to the per-tick RTI count (1 for classic RTI).
+        ``deadline_s``: real-time budget per tick (default 50 Hz)."""
         self.csqp = csqp
         self.batch = batch
+        self.deadline_s = deadline_s
         d = csqp.dev
         self.m = d.n_ctrl
         self._zero = csqp.init_words(batch)
@@ -295,8 +333,7 @@ class ConstrainedRTIService:
             self._warm, self._warm_lam, jnp.asarray(x0, jnp.float32)
         )
         u0_np = np.asarray(u0)
-        self.stats.last_latency_s = time.perf_counter() - t0
-        self.stats.ticks += 1
+        self.stats.record_latency(time.perf_counter() - t0, self.deadline_s)
 
         bad = ~np.isfinite(x0).all(axis=-1)
         if bad.any():

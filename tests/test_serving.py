@@ -202,3 +202,62 @@ def test_mpc_service_device_g_matches_host_g():
     u_bad = dev.solve(x_bad)
     assert np.all(u_bad[3] == 0.0)
     assert dev.stats.resets >= 1
+
+
+# -- real-time budget (SLO) ----------------------------------------------------
+
+
+def test_deadline_miss_counter():
+    """A tick over the configured budget increments
+    ``stats.deadline_misses`` (SLO violation), while the response is
+    still returned; a generous budget never misses."""
+    from pint_tpu.mpc import condense_double_integrator, quantize
+
+    qqp = quantize(condense_double_integrator(T=32))
+    # zero budget: every (finite-latency) tick is a forced miss
+    svc = MPCService(qqp, batch=4, iters_per_tick=4, use_fused=False,
+                     deadline_s=0.0)
+    u = svc.solve(np.zeros((4, 2)))
+    assert np.isfinite(u).all()
+    assert svc.stats.deadline_misses == 1
+    svc.solve(np.zeros((4, 2)))
+    assert svc.stats.deadline_misses == 2 and svc.stats.ticks == 2
+
+    # generous budget: no misses
+    ok = MPCService(qqp, batch=4, iters_per_tick=4, use_fused=False,
+                    deadline_s=60.0)
+    ok.solve(np.zeros((4, 2)))
+    assert ok.stats.deadline_misses == 0
+
+    # no budget configured: counter stays untouched
+    off = MPCService(qqp, batch=4, iters_per_tick=4, use_fused=False,
+                     deadline_s=None)
+    off.solve(np.zeros((4, 2)))
+    assert off.stats.deadline_misses == 0
+
+
+def test_default_budgets_defined():
+    """Every endpoint ships a defined real-time budget (BASELINE.json
+    north-star: controls must match the reference under the same horizon
+    AND real-time budget)."""
+    from pint_tpu.serving import (
+        CRTI_BUDGET_S, LTI_BUDGET_S, RTI_BUDGET_S,
+    )
+
+    assert LTI_BUDGET_S == 0.010            # 100 Hz loop
+    assert RTI_BUDGET_S == 0.020            # 50 Hz loop
+    assert CRTI_BUDGET_S == 0.020           # 50 Hz loop
+
+
+def test_rti_deadline_miss_counter():
+    from pint_tpu.models import Pendulum
+    from pint_tpu.mpc import DeviceSQP
+    from pint_tpu.serving import RTIService
+
+    m = Pendulum(u_shift=10)
+    sqp = DeviceSQP(model=m, horizon=8, sqp_iters=1, pgd_iters=6,
+                    Q=np.diag([1.0, 0.05]), R=np.array([[0.02]]),
+                    x_ref=np.zeros(2))
+    svc = RTIService(sqp, batch=4, deadline_s=0.0)
+    svc.solve(np.zeros((4, 2)))
+    assert svc.stats.deadline_misses == 1
