@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pint_tpu.models.dynamics import _sin_turns_q14
+from pint_tpu.models.dynamics import (
+    _dsin_turns_f32,
+    _dsin_turns_f64,
+    _sin_turns_f32,
+    _sin_turns_f64,
+    _sin_turns_q14,
+)
 
 Array = jax.Array
 
@@ -61,6 +67,13 @@ class PlanarQuadrotor:
     def f_scale(self) -> float:
         """Thrust units per int8 lane."""
         return 2.0 ** (self.f_shift - self.frac_bits)
+
+    @property
+    def lane_scales(self) -> np.ndarray:
+        """(2,) physical thrust-delta Newtons per int8 lane unit for the
+        two rotor channels -- the generic-model hook the SQP tiers
+        (QuantizedSQP / DeviceSQP / DeviceConstrainedSQP) consume."""
+        return np.array([self.f_scale, self.f_scale])
 
     @property
     def hover_fp(self) -> int:
@@ -186,3 +199,129 @@ class PlanarQuadrotor:
             )
             out[..., k + 1, :] = st
         return out
+
+    # -- linearization (LTV/SQP hook) ----------------------------------------
+
+    def linearize(
+        self, states_f: np.ndarray, controls_f: np.ndarray
+    ) -> tuple:
+        """Exact Jacobians of the float64 discrete (explicit-Euler) map
+        at (states_f, controls_f): states (..., 6), controls (..., 2)
+        thrust deltas in Newtons -> (A (..., 6, 6), B (..., 6, 2)).
+
+        Includes the quadratic trig's own derivative, so an LTV
+        condensation built from these is the true local model of
+        :meth:`reference_rollout`, not of an idealized smooth twin (same
+        discipline as Unicycle.linearize, models/dynamics.py)."""
+        states_f = np.asarray(states_f, np.float64)
+        controls_f = np.asarray(controls_f, np.float64)
+        th = states_f[..., 2]
+        hover = self.hover_fp * 2.0**-self.frac_bits
+        total = 2.0 * hover + controls_f[..., 0] + controls_f[..., 1]
+        dt = self.dt
+        s = _sin_turns_f64(th)
+        c = _sin_turns_f64(th + 0.25)
+        ds = _dsin_turns_f64(th)
+        dc = _dsin_turns_f64(th + 0.25)
+        k = 2.0**-self.torque_shift
+        batch = states_f.shape[:-1]
+        A = np.zeros(batch + (6, 6))
+        for i in range(6):
+            A[..., i, i] = 1.0
+        A[..., 0, 3] = dt
+        A[..., 1, 4] = dt
+        A[..., 2, 5] = dt
+        A[..., 3, 2] = -dt * total * ds
+        A[..., 4, 2] = dt * total * dc
+        B = np.zeros(batch + (6, 2))
+        B[..., 3, 0] = -dt * s
+        B[..., 3, 1] = -dt * s
+        B[..., 4, 0] = dt * c
+        B[..., 4, 1] = dt * c
+        B[..., 5, 0] = -dt * k
+        B[..., 5, 1] = dt * k
+        return A, B
+
+    # -- float32 jnp twins (device-resident SQP) -----------------------------
+
+    def rollout_f32(self, state0_f: Array, controls_f: Array) -> Array:
+        """jnp float32 rollout of the same explicit-Euler map (same
+        quadratic trig, same quantized hover thrust).  state0_f (..., 6),
+        controls_f (..., T, 2) thrust deltas -> (..., T+1, 6)."""
+        dt = np.float32(self.dt)
+        g = np.float32(_GRAVITY)
+        hover2 = np.float32(2.0 * self.hover_fp * 2.0**-self.frac_bits)
+        k = np.float32(2.0**-self.torque_shift)
+
+        def body(carry, u_t):
+            x, y, th = carry[..., 0], carry[..., 1], carry[..., 2]
+            vx, vy, om = carry[..., 3], carry[..., 4], carry[..., 5]
+            total = hover2 + u_t[..., 0] + u_t[..., 1]
+            s = _sin_turns_f32(th)
+            c = _sin_turns_f32(th + np.float32(0.25))
+            ax = -total * s
+            ay = total * c - g
+            dom = (u_t[..., 1] - u_t[..., 0]) * k
+            nxt = jnp.stack(
+                [
+                    x + vx * dt,
+                    y + vy * dt,
+                    th + om * dt,
+                    vx + ax * dt,
+                    vy + ay * dt,
+                    om + dom * dt,
+                ],
+                axis=-1,
+            )
+            return nxt, nxt
+
+        controls_tfirst = jnp.moveaxis(
+            controls_f.astype(jnp.float32), -2, 0
+        )
+        _, states = jax.lax.scan(
+            body, state0_f.astype(jnp.float32), controls_tfirst
+        )
+        states = jnp.moveaxis(states, 0, -2)
+        return jnp.concatenate([state0_f[..., None, :], states], axis=-2)
+
+    def linearize_f32(self, states_f: Array, controls_f: Array) -> tuple:
+        """jnp float32 twin of :meth:`linearize` (same analytic
+        Jacobians), for the device-resident SQP.  n=6 exercises the
+        pivot-free Gauss-Jordan inverse's largest claimed lane count
+        (DeviceSQP._inv_unrolled, allpairs propagator)."""
+        th = states_f[..., 2]
+        dt = np.float32(self.dt)
+        hover2 = np.float32(2.0 * self.hover_fp * 2.0**-self.frac_bits)
+        total = hover2 + controls_f[..., 0] + controls_f[..., 1]
+        s = _sin_turns_f32(th)
+        c = _sin_turns_f32(th + np.float32(0.25))
+        ds = _dsin_turns_f32(th)
+        dc = _dsin_turns_f32(th + np.float32(0.25))
+        k = np.float32(2.0**-self.torque_shift)
+        z = jnp.zeros_like(th)
+        one = jnp.ones_like(th)
+        dtc = jnp.full_like(th, dt)
+        A = jnp.stack(
+            [
+                jnp.stack([one, z, z, dtc, z, z], -1),
+                jnp.stack([z, one, z, z, dtc, z], -1),
+                jnp.stack([z, z, one, z, z, dtc], -1),
+                jnp.stack([z, z, -dt * total * ds, one, z, z], -1),
+                jnp.stack([z, z, dt * total * dc, z, one, z], -1),
+                jnp.stack([z, z, z, z, z, one], -1),
+            ],
+            -2,
+        )
+        B = jnp.stack(
+            [
+                jnp.stack([z, z], -1),
+                jnp.stack([z, z], -1),
+                jnp.stack([z, z], -1),
+                jnp.stack([-dt * s, -dt * s], -1),
+                jnp.stack([dt * c, dt * c], -1),
+                jnp.stack([jnp.full_like(th, -dt * k),
+                           jnp.full_like(th, dt * k)], -1),
+            ],
+            -2,
+        )
+        return A, B
