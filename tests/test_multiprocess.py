@@ -1,4 +1,4 @@
-"""True multi-process jax.distributed integration (2 CPU processes).
+"""True multi-process jax.distributed integration (2 and 4 CPU processes).
 
 Validates the real multi-host wiring that the virtual-mesh tests cannot:
 process coordination, global device enumeration, cross-process
@@ -25,11 +25,11 @@ WORKER = textwrap.dedent(
     pid = int(sys.argv[1])
     jax.distributed.initialize(
         coordinator_address="localhost:{port}",
-        num_processes=2,
+        num_processes={nproc},
         process_id=pid,
     )
-    assert jax.process_count() == 2, jax.process_count()
-    assert jax.device_count() == 4, jax.device_count()
+    assert jax.process_count() == {nproc}, jax.process_count()
+    assert jax.device_count() == {ndev}, jax.device_count()
 
     import numpy as np
     import jax.numpy as jnp
@@ -38,7 +38,7 @@ WORKER = textwrap.dedent(
     from pint_tpu.parallel.distributed import aggregate_rate
 
     qqp = quantize(condense_double_integrator(T=50))
-    mesh = make_mesh(dp=2, tp=2)   # spans both processes
+    mesh = make_mesh(dp={dp}, tp={tp})   # spans all processes
     solver = ShardedPGD(qqp, mesh, iters=8)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -60,7 +60,7 @@ WORKER = textwrap.dedent(
     r = float(residual)
     assert np.isfinite(r)
     agg = aggregate_rate(100.0)
-    assert abs(agg - 200.0) < 1e-3, agg
+    assert abs(agg - 100.0 * {nproc}) < 1e-3, agg
 
     # sharded checkpoint across processes: each host writes ONLY its
     # addressable shards, then reloads onto the same mesh bit-exactly
@@ -118,7 +118,15 @@ WORKER = textwrap.dedent(
 
 
 @pytest.mark.slow
-def test_two_process_distributed(tmp_path):
+@pytest.mark.parametrize(
+    "nproc,dp,tp", [(2, 2, 2), (4, 4, 2)],
+    ids=["2proc_dp2tp2", "4proc_dp4tp2"],
+)
+def test_multi_process_distributed(tmp_path, nproc, dp, tp):
+    """2- and 4-process runs: the tp axis spans processes in both (each
+    process contributes 2 virtual devices, tp=2 pairs them across the
+    dp-major device order), so the in-loop psums cross real process
+    boundaries."""
     import socket
 
     with socket.socket() as s:
@@ -128,7 +136,8 @@ def test_two_process_distributed(tmp_path):
     repo = pathlib.Path(__file__).resolve().parents[1]
     script = tmp_path / "worker.py"
     script.write_text(
-        WORKER.format(port=port, ckpt_prefix=str(tmp_path / "ckpt"))
+        WORKER.format(port=port, ckpt_prefix=str(tmp_path / "ckpt"),
+                      nproc=nproc, ndev=2 * nproc, dp=dp, tp=tp)
     )
 
     procs = [
@@ -143,12 +152,12 @@ def test_two_process_distributed(tmp_path):
                 "HOME": "/tmp",
             },
         )
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
