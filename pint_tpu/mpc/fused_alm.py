@@ -117,14 +117,22 @@ def matvec_viable(K: int, rows: int) -> bool:
     return 2 * 128 * (K * rows + 8 * (K + rows)) <= _VMEM_CEIL
 
 
-_MATVEC_MIN_COLS = 33
-"""Measured kernel-vs-XLA crossover for the per-iteration column matvec
-(EXP_MATVEC.json): at K=48 columns (tp=2, headline Tm=96) the kernel
-wins 28.0 vs 37.5 us/call; at K=24 (tp=4) it LOSES 11.55 vs 10.46 --
-below ~32 columns the launch overhead of one kernel per iteration
-outweighs the unrolled-FMA advantage.  Auto-selection uses
-:func:`matvec_wins`; an explicit ``fused=True`` still forces the
-kernel (gated only by viability)."""
+_MATVEC_MIN_COLS = 16
+"""Measured kernel-vs-XLA crossover for the per-iteration column matvec.
+
+The round-5 sweep (EXP_MATVEC_SWEEP.json: K in {8..64} x Tm in
+{64, 96}, 30-call chains, median of 5, bit-exact at every point) shows
+the kernel winning at EVERY K >= 16 on both horizons (e.g. Tm=96 K=16:
+2.8 vs 40.9 us; Tm=64 K=32: 4.3 vs 42.5 us) and only washing/losing at
+K=8 (Tm=96: 12.7 vs 12.4 us), so auto-selection takes the kernel at
+K >= 16 columns/rank.  Round 4's two-point EXP_MATVEC.json had the
+tp=4 (K=16, Tm=64) point LOSING 11.55 vs 10.46 us -- not reproduced by
+the sweep (19.3 vs 29.3 us on the same geometry); the discrepancy is
+pooled-chip session variance, and the stake is perf-only: both paths
+are bit-identical (D5, docs/DESIGN.md section 11), so a wrong call can
+never change results.  Auto-selection uses :func:`matvec_wins`; an
+explicit ``fused=True`` still forces the kernel (gated only by
+viability)."""
 
 
 def matvec_wins(K: int, rows: int) -> bool:

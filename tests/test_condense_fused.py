@@ -370,21 +370,23 @@ def test_fused_auto_requires_lipq(monkeypatch):
 
 def test_tp_matvec_crossover_gate(monkeypatch):
     """tp>1 fused auto-selection keys on the measured kernel-vs-XLA
-    crossover (EXP_MATVEC: kernel wins at K=48 columns/rank, loses at
-    K=24), while an explicit flag is honored wherever viable."""
+    crossover (EXP_MATVEC_SWEEP: kernel wins at every K>=16
+    columns/rank, washes at K=8), while an explicit flag is honored
+    wherever viable."""
     import pint_tpu.mpc.fused_alm as fa
     from pint_tpu.mpc.fused_alm import (
         matvec_viable, matvec_wins, resolve_tp_fused,
     )
 
-    assert matvec_viable(24, 96) and matvec_viable(48, 96)
+    assert matvec_viable(8, 96) and matvec_viable(48, 96)
     assert matvec_wins(48, 96)             # tp=2 at Tm=96: kernel wins
-    assert not matvec_wins(24, 96)         # tp=4 at Tm=96: kernel loses
+    assert matvec_wins(16, 96)             # sweep: wins at every K>=16
+    assert not matvec_wins(8, 96)          # K=8: measured wash/loss
 
     monkeypatch.setattr(fa, "on_tpu_backend", lambda: True)
     assert resolve_tp_fused(None, 48, 96)
-    assert not resolve_tp_fused(None, 24, 96)    # auto: XLA dot
-    assert resolve_tp_fused(True, 24, 96)        # explicit: kernel
+    assert not resolve_tp_fused(None, 8, 96)     # auto: XLA dot
+    assert resolve_tp_fused(True, 8, 96)         # explicit: kernel
     assert not resolve_tp_fused(False, 48, 96)
 
 
