@@ -226,6 +226,7 @@ class DeviceConstrainedSQP:
             "einsum": d._reduce_phase,
             "blocked": d._reduce_blocked,
             "btrans": d._reduce_btrans,
+            "sym": d._reduce_sym,
         }[d.reduce]
         Ht, g = red(Abar, Bbar_all, Cbar, x0_f)
         S_t, P_t, r_t = self._stack_constraints(Abar, Bbar_all, Cbar)

@@ -122,24 +122,28 @@ class DeviceSQP:
     tiny-contraction (K=n) einsums and (B,T,m,T,m) intermediates lower
     poorly.  Both paths agree to f32 roundoff and stay bit-identical end
     to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
-    reduce: str = "einsum"
-    """Condensed-Hessian contraction form.  "einsum" (default): the
-    two-einsum BQ/Ht path, batch-last throughout.  "blocked": 2x2
-    block-triangular + symmetric mirror (skips the structurally-zero
-    half of the contraction, ~2x fewer MXU FLOPs).  "btrans": explicit
-    batch-leading transposes + one clean batched GEMM.  All agree to
-    f32 roundoff (tests/test_device_sqp.py).  Measured END TO END on
-    chip at B=4096 (EXP_CONDENSE.json / EXP_BTRANS.json), the default
-    WINS despite its naive FLOP count: T=32 einsum 246.7K vs blocked
-    185.5K vs btrans 237.5K solves/s (T=50: 102.0K / 92.9K / 94.6K) --
-    XLA's internal handling of the batch-trailing contraction beats
-    both the halved-FLOPs form (extra block materializations) and the
-    explicit-relayout form (the 100/67 MB transposes cost more than
-    they save).  A bf16-operand contraction was also measured and
-    REMOVED: 11% slower (the cast passes eat the traffic saving) AND
-    3-6% final-cost deviation vs the f64 host (EXP_BF16.json,
-    exp_bf16_chip.py).  The alternatives stay as measured
-    cross-checks."""
+    reduce: str = "sym"
+    """Condensed-Hessian contraction form.  "sym" (default, round 5):
+    the symmetric-square path Ht = W^T W with W = L^T-weighted stacks
+    (Q = L L^T) -- the round-5 profiler trace (EXP_REDUCE_TRACE.json)
+    observed that ~1.45 ms of the 3.3 ms einsum condensation is bf16
+    hi/lo operand splits + relayout copies XLA materializes per
+    DISTINCT operand of its 3-pass f32 MXU dot, and contracting one
+    stack against ITSELF halves that.  Measured END TO END on chip
+    (EXP_SYM.json): T=32 287.0K vs einsum 245.4K solves/s (+17%),
+    T=50 107.7K vs 101.7K, T=64 84.4K vs 77.9K.  Needs Q PSD (a
+    ValueError with a hint fires otherwise -- use "einsum" for the
+    pathological indefinite-Q case).  "einsum": the round-2..4
+    two-einsum BQ/Ht default.  "blocked": 2x2 block-triangular +
+    symmetric mirror (~2x fewer MXU FLOPs -- measured 24% SLOWER end
+    to end).  "btrans": explicit batch-leading transposes + one clean
+    batched GEMM (4% slower).  All agree to f32 roundoff
+    (tests/test_device_sqp.py).  A bf16-OPERAND contraction was also
+    measured and REMOVED: 11% slower AND 3-6% final-cost deviation
+    (EXP_BF16.json; distinct from "sym", which keeps f32 semantics and
+    only reduces how often XLA's own bf16 split-copies materialize).
+    The alternatives stay as measured cross-checks
+    (EXP_CONDENSE.json / EXP_BTRANS.json)."""
     fused: "bool | None" = None
     """Run the PGD inner as the VMEM-resident Pallas kernel
     (:func:`pint_tpu.mpc.fused_alm.pgd_fused_words`).  ``None``
@@ -198,10 +202,10 @@ class DeviceSQP:
                 f"propagate must be 'allpairs', 'scan' or 'unroll', got "
                 f"{self.propagate!r}"
             )
-        if self.reduce not in ("einsum", "blocked", "btrans"):
+        if self.reduce not in ("einsum", "blocked", "btrans", "sym"):
             raise ValueError(
-                f"reduce must be 'einsum', 'blocked' or 'btrans', got "
-                f"{self.reduce!r}"
+                f"reduce must be 'einsum', 'blocked', 'btrans' or "
+                f"'sym', got {self.reduce!r}"
             )
         if self.n_dec % 4:
             raise ValueError(
@@ -572,6 +576,62 @@ class DeviceSQP:
         g = self._reduce_linear(BQ, BQT, Abar, Cx, x0_f)
         return Ht, g
 
+    @functools.cached_property
+    def _Q_sqrt(self) -> np.ndarray:
+        """PSD square root L of Q (Q = L L^T) for ``reduce="sym"``,
+        via eigh so merely-semidefinite Q (zero state weights) works."""
+        Qn = np.asarray(self.Q, np.float64)
+        w, V = np.linalg.eigh((Qn + Qn.T) / 2.0)
+        if w.min() < -1e-9 * max(1.0, w.max()):
+            raise ValueError(
+                f"reduce='sym' (the default) needs Q PSD; eigenvalues "
+                f"{w}. For an indefinite Q use reduce='einsum'."
+            )
+        return V * np.sqrt(np.clip(w, 0.0, None))
+
+    def _reduce_sym(
+        self, Abar: Array, Bbar_all: Array, Cbar: Array, x0_f: Array
+    ):
+        """``reduce="sym"`` contraction: Ht via the symmetric square
+        ``W^T W`` with ``W = (L^T B-stack)`` and ``Q = L L^T``.
+
+        Motivation is OBSERVED, not inferred (EXP_REDUCE_TRACE.json,
+        round 5): the profiler shows ~1.45 ms/outer of the einsum path's
+        3.3 ms condensation is `copy.*`/`reshape` HLO ops -- bf16 hi/lo
+        operand splits + tile relayouts XLA materializes to feed the
+        3-pass f32 MXU dot (one split pair per DISTINCT operand), plus
+        the f32 Ht result relayout.  Contracting ``W`` against ITSELF
+        halves the operand-split traffic: one (T, n, Tm, B) stack
+        (``W``) materializes instead of two (``BQ`` and ``Bbar`` both
+        feeding the dot), and the linear term's n-contractions run on
+        L-weighted small tensors.  The terminal ``Qf - Q`` term (not
+        necessarily PSD) stays in the two-operand form -- it is one
+        (n, Tm, B) slab, not T of them.  Agreement with the einsum path
+        is f32-roundoff-level (tests/test_device_sqp.py).
+        """
+        T = self.horizon
+        Q, Qf, R_kron, x_ref = self._reduce_consts()
+        Cx = Cbar - x_ref[:, :, None]                         # (T, n, B)
+        Lj = jnp.asarray(self._Q_sqrt, jnp.float32)           # (n, n)
+
+        W = jnp.einsum("kinb,il->klnb", Bbar_all, Lj)         # (T,n,Tm,B)
+        Ht = jnp.einsum("klnb,klmb->nmb", W, W)
+        BT = Bbar_all[T - 1]
+        BQT = jnp.einsum("inb,ij->jnb", BT, Qf - Q)
+        Ht = Ht + jnp.einsum("jnb,jmb->nmb", BQT, BT)
+        Ht = Ht + R_kron[:, :, None]
+
+        LA = jnp.einsum("kjqb,jl->klqb", Abar, Lj)            # (T,n,n,B)
+        LCx = jnp.einsum("kjb,jl->klb", Cx, Lj)               # (T,n,B)
+        G = jnp.einsum("klnb,klqb->bnq", W, LA)
+        G = G + jnp.einsum("jnb,jqb->bnq", BQT, Abar[T - 1])
+        g_ref = jnp.einsum("klnb,klb->bn", W, LCx)
+        g_ref = g_ref + jnp.einsum("jnb,jb->bn", BQT, Cx[T - 1])
+        g = jnp.einsum(
+            "bnq,bq->bn", G, x0_f.astype(jnp.float32)
+        ) + g_ref
+        return Ht, g
+
     def _lipschitz_phase(self, Ht: Array) -> Array:
         """Power iteration for lambda_max(H) (PSD), 1.05 safety factor.
 
@@ -639,6 +699,7 @@ class DeviceSQP:
             "einsum": self._reduce_phase,
             "blocked": self._reduce_blocked,
             "btrans": self._reduce_btrans,
+            "sym": self._reduce_sym,
         }[self.reduce]
         return red(Abar, Bbar_all, Cbar, x0_f)
 

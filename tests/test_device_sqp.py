@@ -308,3 +308,39 @@ def test_reduce_btrans_agrees(pair):
 def test_bad_reduce_rejected():
     with pytest.raises(ValueError, match="reduce must be"):
         DeviceSQP(horizon=8, reduce="bogus")
+
+
+def test_reduce_sym_agrees(pair):
+    """The symmetric-square contraction (reduce="sym": Ht = W^T W with
+    W = L^T-weighted stacks, Q = L L^T) agrees with the einsum path to
+    f32 roundoff on (H, g), and end-to-end solves land within one lane
+    step.  Also exercises the PSD-sqrt guard."""
+    import jax.numpy as jnp
+
+    kw = dict(horizon=16, sqp_iters=2, pgd_iters=10)
+    d_sym = DeviceSQP(**kw, reduce="sym")
+    d_ein = DeviceSQP(**kw, reduce="einsum")
+    rng = np.random.default_rng(5)
+    B = 8
+    x0 = jnp.asarray(rng.normal(size=(B, 3)) * 0.5, jnp.float32)
+    lanes = jnp.asarray(
+        rng.integers(-40, 40, size=(B, d_sym.n_dec)), jnp.int32
+    )
+    for a, b in zip(d_sym._condense_hg(x0, lanes),
+                    d_ein._condense_hg(x0, lanes)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * (np.abs(b).max() + 1e-12)
+    from pint_tpu.models.dynamics import unpack_controls
+
+    w_s = d_sym.solve_words(d_sym.init_words(B), x0)
+    w_e = d_ein.solve_words(d_ein.init_words(B), x0)
+    l_s = (np.asarray(unpack_controls(w_s), np.int64) + 128) % 256 - 128
+    l_e = (np.asarray(unpack_controls(w_e), np.int64) + 128) % 256 - 128
+    assert np.abs(l_s - l_e).max() <= 1
+
+    # semidefinite Q (zero weight on a state) still factors
+    d0 = DeviceSQP(**kw, reduce="sym", Q=np.diag([1.0, 1.0, 0.0]))
+    d0._condense_hg(x0, lanes)
+    # indefinite Q is rejected with a clear message
+    with pytest.raises(ValueError, match="PSD"):
+        DeviceSQP(**kw, reduce="sym", Q=np.diag([1.0, 1.0, -0.5]))._Q_sqrt
