@@ -218,7 +218,7 @@ class DeviceConstrainedSQP:
         A_seq, B_lane, c_seq = d._linearize_phase(x0_f, lanes)
         prop = (
             d._propagate_unrolled
-            if d.propagate == "unroll"
+            if d._propagate_mode() == "unroll"
             else d._propagate_scan
         )
         Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)

@@ -9,13 +9,14 @@ with zero host round-trips:
 * nominal rollout + linearization: the model's float32 jnp twins
   (``rollout_f32`` / ``linearize_f32`` -- same discrete maps, same
   quadratic trig as the f64 references),
-* condensation: sequential T-step scan recursion building the
-  propagator stack, then batched f32 einsum contractions on the MXU
-  (``propagate="scan"``, the default).  A closed-form alternative
+* condensation: the T-step propagator recursion (``propagate="auto"``:
+  unrolled static-injection form from T=24 up, lax.scan below -- the
+  measured per-horizon winners), then the symmetric-square f32 MXU
+  contraction (``reduce="sym"``).  A closed-form alternative
   (``propagate="allpairs"``: log-depth `associative_scan` prefix
   products + one masked einsum S[k,j] = P_k (P_j^-1 B_j)) is kept as
   a cross-check but measures 5x slower on chip -- see the
-  ``propagate`` field docstring for the numbers,
+  ``propagate``/``reduce`` field docstrings for the numbers,
 * Lipschitz constant: power iteration on the condensed Hessian (PSD, so
   the iterate converges to lambda_max; a 1.05 safety factor keeps the PGD
   step conservative against the truncated iteration),
@@ -113,15 +114,24 @@ class DeviceSQP:
     pgd_iters: int = 40
     g_shift: int = 12
     power_iters: int = 16
-    propagate: str = "scan"
-    """Condensation propagator construction: "scan" (sequential T-step
-    recursion — the default) or "allpairs" (log-depth prefix products +
-    one masked einsum).  Measured on chip at T=32, B=4096: scan condenses
-    in 30.6 ms/outer (26.4K full solves/s); allpairs, despite its lower
-    sequential depth, is 5x SLOWER (152.6 ms/outer, 6.4K solves/s) — its
-    tiny-contraction (K=n) einsums and (B,T,m,T,m) intermediates lower
-    poorly.  Both paths agree to f32 roundoff and stay bit-identical end
-    to end (tests/test_device_sqp.py::test_propagate_paths_agree)."""
+    propagate: str = "auto"
+    """Condensation propagator construction.  "auto" (default, round 5)
+    resolves by horizon to the measured end-to-end winner: "unroll"
+    (fully unrolled recursion with static slice injection — skips the
+    ~100 MB mostly-zero injection tensor and its reshape) for T >= 24,
+    "scan" (sequential lax.scan recursion) below.  With the round-5
+    ``reduce="sym"`` contraction, unroll wins every horizon from T=32
+    up — T=32 331.3K vs 285.3K, T=50 124.7K vs 107.5K, T=64 95.9K vs
+    84.5K, T=128 26.4K vs 21.4K solves/s — and washes at T=16 (797K vs
+    812K); round 4 measured the OPPOSITE ordering (unroll 27% slower)
+    against the einsum reduce, i.e. the reduce rewrite shifted which
+    propagate form fuses better (EXP_PROP.json; decide from end-to-end
+    rates, CLAUDE.md).  Unroll's first-call compile is ~2x the scan's
+    (43.8 vs 23.2 s at T=128, cached thereafter).  "allpairs" (log-depth
+    prefix products + one masked einsum) stays a numerical cross-check:
+    5x slower (its tiny-contraction einsums lower poorly).  All paths
+    agree to f32 roundoff and are each bit-deterministic end to end
+    (tests/test_device_sqp.py::test_propagate_paths_agree)."""
     reduce: str = "sym"
     """Condensed-Hessian contraction form.  "sym" (default, round 5):
     the symmetric-square path Ht = W^T W with W = L^T-weighted stacks
@@ -197,10 +207,10 @@ class DeviceSQP:
         return self.qf_scale * np.asarray(self.Q, float)
 
     def __post_init__(self):
-        if self.propagate not in ("allpairs", "scan", "unroll"):
+        if self.propagate not in ("allpairs", "auto", "scan", "unroll"):
             raise ValueError(
-                f"propagate must be 'allpairs', 'scan' or 'unroll', got "
-                f"{self.propagate!r}"
+                f"propagate must be 'allpairs', 'auto', 'scan' or "
+                f"'unroll', got {self.propagate!r}"
             )
         if self.reduce not in ("einsum", "blocked", "btrans", "sym"):
             raise ValueError(
@@ -681,6 +691,14 @@ class DeviceSQP:
             self._quantize_phase(Ht, g, lip)
         )
 
+    def _propagate_mode(self) -> str:
+        """``propagate`` with "auto" resolved by the measured horizon
+        crossover (EXP_PROP.json): "unroll" from T=24 up, "scan" below.
+        """
+        if self.propagate != "auto":
+            return self.propagate
+        return "unroll" if self.horizon >= 24 else "scan"
+
     def _condense_ht(self, x0_f: Array, lanes: Array):
         """Condensed (Ht (Tm,Tm,B), g (B,Tm)) via the configured
         ``propagate`` path (f32) -- Hessian batch-last, the internal
@@ -691,7 +709,7 @@ class DeviceSQP:
             return jnp.transpose(H, (1, 2, 0)), g
         prop = (
             self._propagate_unrolled
-            if self.propagate == "unroll"
+            if self._propagate_mode() == "unroll"
             else self._propagate_scan
         )
         Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
