@@ -218,7 +218,7 @@ class DeviceConstrainedSQP:
         A_seq, B_lane, c_seq = d._linearize_phase(x0_f, lanes)
         prop = (
             d._propagate_unrolled
-            if d._propagate_mode() == "unroll"
+            if self._propagate_mode() == "unroll"
             else d._propagate_scan
         )
         Abar, Bbar_all, Cbar = prop(A_seq, B_lane, c_seq)
@@ -347,6 +347,18 @@ class DeviceConstrainedSQP:
         return jax.lax.optimization_barrier((ops, c_unit))
 
     # -- public API --------------------------------------------------------------
+
+    def _propagate_mode(self) -> str:
+        """``dev.propagate`` with "auto" resolved by the CONSTRAINED
+        solver's own measured crossover (EXP_PROP.json `constrained`):
+        this solver consumes the propagator stacks twice (objective
+        reduce + constraint stacking), which shifts the scan/unroll
+        balance -- T=32 measures scan 154.7K vs unroll 142.2K solves/s
+        but T=50 measures unroll 70.3K vs scan 63.1K, so the crossover
+        sits near T~40 instead of DeviceSQP's ~24."""
+        if self.dev.propagate != "auto":
+            return self.dev.propagate
+        return "unroll" if self.dev.horizon >= 40 else "scan"
 
     def _auto(self, flag: Optional[bool]) -> bool:
         return self.dev._auto(flag)
