@@ -344,3 +344,23 @@ def test_reduce_sym_agrees(pair):
     # indefinite Q is rejected with a clear message
     with pytest.raises(ValueError, match="PSD"):
         DeviceSQP(**kw, reduce="sym", Q=np.diag([1.0, 1.0, -0.5]))._Q_sqrt
+
+
+def test_propagate_auto_resolution():
+    """'auto' resolves per the measured crossovers (EXP_PROP.json):
+    DeviceSQP flips to unroll at T>=24; the constrained solver (which
+    reads the stacks twice) flips at T>=40; explicit modes pass
+    through."""
+    from pint_tpu.mpc import DeviceConstrainedSQP
+
+    assert DeviceSQP(horizon=16)._propagate_mode() == "scan"
+    assert DeviceSQP(horizon=32)._propagate_mode() == "unroll"
+    assert DeviceSQP(horizon=32, propagate="scan")._propagate_mode() == "scan"
+
+    mk = lambda T: DeviceConstrainedSQP(
+        DeviceSQP(horizon=T), F=[[0.0, 1.0, 0.0]])
+    assert mk(32)._propagate_mode() == "scan"
+    assert mk(50)._propagate_mode() == "unroll"
+    assert DeviceConstrainedSQP(
+        DeviceSQP(horizon=32, propagate="unroll"), F=[[0.0, 1.0, 0.0]]
+    )._propagate_mode() == "unroll"
