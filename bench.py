@@ -762,6 +762,46 @@ def bench_device_t50(overhead, batch=4096, reps=5) -> dict:
     return out
 
 
+def bench_quadrotor_device(overhead, batch=4096, reps=5) -> dict:
+    """Third-model-family device-tier rows (VERDICT round-4 item 6): the
+    PlanarQuadrotor (n=6 states, m=2 coupled inputs) through DeviceSQP
+    and DeviceConstrainedSQP -- the biggest state/multi-input geometry in
+    the zoo (Tm = 2T lanes, 6x6 condensation blocks)."""
+    from pint_tpu.models.quadrotor import PlanarQuadrotor
+    from pint_tpu.mpc import DeviceConstrainedSQP, DeviceSQP
+
+    out = {}
+    rng = np.random.default_rng(0)
+    kw = dict(
+        model=PlanarQuadrotor(), horizon=16, sqp_iters=4, pgd_iters=30,
+        Q=np.diag([4.0, 4.0, 1.0, 0.2, 0.2, 0.1]),
+        R=np.diag([0.05, 0.05]), qf_scale=20.0, x_ref=np.zeros(6),
+    )
+    dev = DeviceSQP(**kw)
+    x0 = jnp.asarray(np.stack(
+        [rng.uniform(-0.3, 0.3, batch), rng.uniform(-0.3, 0.3, batch),
+         rng.uniform(-0.03, 0.03, batch), rng.uniform(-0.2, 0.2, batch),
+         rng.uniform(-0.2, 0.2, batch), rng.uniform(-0.05, 0.05, batch)],
+        axis=-1).astype(np.float32))
+    out["quadrotor_device_sqp_T16_solves_per_s"] = _timed_rate(
+        "quadrotor_device_sqp_T16", batch,
+        lambda w, x: dev._solve_jit(w, x),
+        dev.init_words(batch), x0, inner=16, reps=reps, overhead=overhead,
+    )
+    devc = DeviceConstrainedSQP(
+        DeviceSQP(**kw),
+        F=[[0.0, 0.0, 0.0, 0.0, 1.0, 0.0]], lo=-0.15, hi=0.15,
+        rho=50.0, alm_outer=3,
+    )
+    out["quadrotor_device_constrained_T16_solves_per_s"] = _timed_rate(
+        "quadrotor_device_constrained_T16", batch,
+        lambda st, x: devc._solve_jit(st[0], x, st[1]),
+        (devc.init_words(batch), devc.init_lam(batch)), x0,
+        inner=8, reps=reps, overhead=overhead,
+    )
+    return out
+
+
 def bench_vpu_ops(overhead, n: int = 1 << 18, ops_per_pass: int = 64,
                   lanes: int = 4) -> float:
     """Sustained VPU int32 whole-word ops/s: ``lanes`` INDEPENDENT fused
@@ -1200,6 +1240,9 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
     def sec_device_t50():
         results.update(bench_device_t50(overhead, reps=reps))
 
+    def sec_quadrotor():
+        results.update(bench_quadrotor_device(overhead, reps=reps))
+
     def sec_sqp_phases():
         results["device_sqp_phases"] = bench_device_sqp_phases(overhead)
         results["device_constrained_phases"] = (
@@ -1219,6 +1262,7 @@ def run_bench(results, overhead, full=False, sqp_phases=False):
     if full:
         sections.append(("op_table", sec_op_table, 0))
         sections.append(("device_t50", sec_device_t50, 0))
+        sections.append(("quadrotor_device", sec_quadrotor, 0))
     if sqp_phases:
         sections.append(("sqp_phases", sec_sqp_phases, 0))
 
