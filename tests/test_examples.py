@@ -42,3 +42,22 @@ def test_swingup_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "balanced upright" in out.stdout
+
+
+def test_hover_runs():
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {
+        "PYTHONPATH": str(repo),
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": "/tmp",
+    }
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "hover.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "corridor" in out.stdout

@@ -306,6 +306,28 @@ def main() -> None:
     check("tp matvec kernel == int32 einsum",
           bool(jnp.all(got10 == exp10)))
 
+    # third model family natively: the PlanarQuadrotor (n=6, m=2)
+    # through DeviceSQP on chip -- determinism + fused-vs-XLA full-solve
+    # identity at the biggest state/multi-input geometry in the zoo
+    from pint_tpu.models.quadrotor import PlanarQuadrotor
+
+    qkw = dict(model=PlanarQuadrotor(), horizon=8, sqp_iters=2,
+               pgd_iters=6, Q=np.diag([4.0, 4.0, 1.0, 0.2, 0.2, 0.1]),
+               R=np.diag([0.05, 0.05]), x_ref=np.zeros(6))
+    rng11 = np.random.default_rng(11)
+    x11 = jnp.asarray(
+        rng11.normal(size=(B7, 6)).astype(np.float32) * 0.2)
+    d11f = DeviceSQP(**qkw, lipq=True, fused=True)
+    d11x = DeviceSQP(**qkw, lipq=True, fused=False)
+    u11 = d11f.init_words(B7)
+    w11a = d11f.solve_words(u11, x11)
+    w11b = d11f.solve_words(u11, x11)
+    w11x = d11x.solve_words(u11, x11)
+    check("quadrotor device solve deterministic",
+          bool(jnp.all(w11a == w11b)))
+    check("quadrotor full solve: fused == XLA inner",
+          bool(jnp.all(w11a == w11x)))
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     if failures:
         raise SystemExit(1)
