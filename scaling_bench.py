@@ -11,7 +11,11 @@ meshes over whatever devices are available:
   hardware-meaningful, but the sweep, sharding and aggregation paths are
   the same ones a pod run uses).
 
-Usage: python scaling_bench.py [--tp N] [--batch-per-device N]
+Usage: python scaling_bench.py [--tp N] [--batch-per-device N] [--cpu]
+``--cpu`` forces the virtual-CPU backend (with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` set in the
+environment) via ``jax.config.update`` -- the env var JAX_PLATFORMS
+alone is IGNORED once the axon PJRT plugin registers (CLAUDE.md).
 Writes SCALING.json and prints one summary JSON line.
 """
 
@@ -59,7 +63,13 @@ def main():
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--batch-per-device", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the (virtual multi-device) CPU backend; "
+                         "the JAX_PLATFORMS env var alone is ignored "
+                         "once the axon plugin registers")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from pint_tpu.parallel.distributed import aggregate_rate, initialize
     from pint_tpu.utils.timing import fetch_overhead
