@@ -439,3 +439,17 @@ def test_tp_fused_constrained_bit_identical(lipq_flag):
     w_sh, l_sh = solve(uj, xj, lj)
     assert jnp.array_equal(w_single, w_sh)
     assert jnp.array_equal(l_single, l_sh)
+
+
+def test_vmem_kwargs_tiers():
+    """Working sets within the default Mosaic budget compile with no
+    params (round-4-identical); above it they pass the raised
+    vmem_limit_bytes; interpret mode never passes params."""
+    from pint_tpu.mpc.fused_alm import (
+        _vmem_kwargs, _VMEM_BUDGET, _VMEM_LIMIT_BYTES,
+    )
+
+    assert _vmem_kwargs(_VMEM_BUDGET, False) == {}
+    kw = _vmem_kwargs(_VMEM_BUDGET + 1, False)
+    assert kw["compiler_params"].vmem_limit_bytes == _VMEM_LIMIT_BYTES
+    assert _vmem_kwargs(10**9, True) == {}
