@@ -64,7 +64,10 @@ def try_mb(mb, limit_mb=127):
     )
     t0 = time.time()
     try:
-        y = jax.jit(f)(x)
+        # CLAUDE.md: new Pallas regions must run under enable_x64(False)
+        # (ambient x64 turns index-map literals i64 and Mosaic rejects)
+        with jax.enable_x64(False):
+            y = jax.jit(f)(x)
         v = fetch_with_timeout(y)
         assert v[0, 0] == 2.0
         dt = time.time() - t0

@@ -542,11 +542,13 @@ class DeviceConstrainedSQP:
             use_fused = self._use_fused()
         else:
             # gate on the per-rank combined matvec slab + the measured
-            # perf crossover (see DeviceSQP.sharded_solve_words)
+            # perf crossover + the lipq determinism carrier (see
+            # DeviceSQP.sharded_solve_words)
             from pint_tpu.mpc.fused_alm import resolve_tp_fused
 
             use_fused = resolve_tp_fused(
-                self.fused, block, d.n_dec + self.padded_rows
+                self.fused, block, d.n_dec + self.padded_rows,
+                self._use_lipq(),
             )
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused

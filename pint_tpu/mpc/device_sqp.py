@@ -953,12 +953,15 @@ class DeviceSQP:
             # gate on ITS footprint, not pgd_viable's (a horizon too big
             # for the one-launch kernel can still run the matvec kernel).
             # Auto-selection further requires the measured perf
-            # crossover (matvec_wins: below ~32 columns/rank the
-            # per-iteration launch LOSES to the XLA dot, EXP_MATVEC);
-            # explicit fused=True forces the kernel where viable.
+            # crossover (matvec_wins: the 12-point sweep has the kernel
+            # winning at every K >= 16 columns/rank, EXP_MATVEC_SWEEP)
+            # AND the lipq determinism carrier, mirroring the tp == 1
+            # rule; explicit fused=True forces the kernel where viable.
             from pint_tpu.mpc.fused_alm import resolve_tp_fused
 
-            use_fused = resolve_tp_fused(self.fused, block, self.n_dec)
+            use_fused = resolve_tp_fused(
+                self.fused, block, self.n_dec, self._use_lipq()
+            )
         use_lipq = self._use_lipq()
         fused_tp1 = tp == 1 and use_fused
 

@@ -143,18 +143,23 @@ def matvec_wins(K: int, rows: int) -> bool:
     return matvec_viable(K, rows) and K >= _MATVEC_MIN_COLS
 
 
-def resolve_tp_fused(flag, K: int, rows: int) -> bool:
+def resolve_tp_fused(flag, K: int, rows: int, use_lipq: bool) -> bool:
     """Resolved ``fused`` flag for the tp>1 column paths (DeviceSQP /
     DeviceConstrainedSQP ``sharded_solve_words``): an explicit flag is
     honored wherever the kernel is VMEM-viable; auto (``None``) selects
     the kernel only where it measures FASTER than the XLA dot
-    (:func:`matvec_wins`) on a TPU backend.  Both paths are bit-identical
-    (int32 accumulation is wrap-exact), so this is purely a perf gate --
-    tested in tests/test_condense_fused.py::test_tp_matvec_crossover_gate.
-    """
+    (:func:`matvec_wins`) on a TPU backend AND the lipq kernel carries
+    the quantization (``use_lipq`` -- the same determinism rule as the
+    tp==1 ``_use_fused``: without in-kernel quantization, a program
+    with per-iteration custom calls can compile the f32 condensation
+    differently from the custom-call-free single-device program and
+    flip int8 ties, cracking sharded == single-device).  The kernel and
+    XLA matvecs themselves are bit-identical (int32 accumulation is
+    wrap-exact) -- tested in
+    tests/test_condense_fused.py::test_tp_matvec_crossover_gate."""
     if flag is not None:
         return flag and matvec_viable(K, rows)
-    return on_tpu_backend() and matvec_wins(K, rows)
+    return on_tpu_backend() and use_lipq and matvec_wins(K, rows)
 
 
 def _out_struct(shape, dtype, *operands):

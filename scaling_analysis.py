@@ -99,6 +99,14 @@ def allreduce_sites(compiled_text: str):
             }
 
 
+def _moved_bytes(site) -> int:
+    """Bytes a collective actually moves: a psum whose replica groups are
+    singletons ({0},{1},...) moves zero (the pure-dp case)."""
+    first_group = site["replica_groups"].split("}")[0]
+    group_size = first_group.count(",") + 1
+    return 0 if group_size <= 1 else site["payload_bytes"]
+
+
 def analyze_mesh(dp: int, tp: int, batch_per_dp: int, iters: int):
     qqp = quantize(condense_double_integrator(T=50))
     mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
@@ -108,14 +116,7 @@ def analyze_mesh(dp: int, tp: int, batch_per_dp: int, iters: int):
     g = solver.place_g(qqp.g_lane_fixed(np.zeros((B, 2))))
     txt = solver.solve_words.lower(u0, g).compile().as_text()
     sites = list(allreduce_sites(txt))
-    # a psum whose replica groups are singletons ({0},{1},...) moves zero
-    # bytes -- that's the tp=1 (pure-dp) case
-    def moved(s):
-        first_group = s["replica_groups"].split("}")[0]
-        group_size = first_group.count(",") + 1
-        return 0 if group_size <= 1 else s["payload_bytes"]
-
-    per_iter = sum(moved(s) for s in sites if s["in_loop"])
+    per_iter = sum(_moved_bytes(s) for s in sites if s["in_loop"])
     per_solve_extra = sum(
         s["payload_bytes"] for s in sites if not s["in_loop"]
     )
@@ -168,14 +169,8 @@ def analyze_device_constrained(dp: int, tp: int, batch_per_dp: int = 8):
     fn = dcs.sharded_solve_words(mesh)
     txt = fn.lower(u0, x0, lam0).compile().as_text()
     sites = list(collective_sites(txt))
-
-    def moved(s):
-        first_group = s["replica_groups"].split("}")[0]
-        group_size = first_group.count(",") + 1
-        return 0 if group_size <= 1 else s["payload_bytes"]
-
-    per_inner = sum(moved(s) for s in sites if s["in_loop"])
-    once = sum(moved(s) for s in sites if not s["in_loop"])
+    per_inner = sum(_moved_bytes(s) for s in sites if s["in_loop"])
+    once = sum(_moved_bytes(s) for s in sites if not s["in_loop"])
     return {
         "mesh": {"dp": dp, "tp": tp},
         "batch_global": B,
@@ -210,14 +205,8 @@ def analyze_device_sqp(dp: int, tp: int, batch_per_dp: int = 8):
     fn = dev.sharded_solve_words(mesh)
     txt = fn.lower(u0, x0).compile().as_text()
     sites = list(collective_sites(txt))
-
-    def moved(s):
-        first_group = s["replica_groups"].split("}")[0]
-        group_size = first_group.count(",") + 1
-        return 0 if group_size <= 1 else s["payload_bytes"]
-
-    per_inner = sum(moved(s) for s in sites if s["in_loop"])
-    once = sum(moved(s) for s in sites if not s["in_loop"])
+    per_inner = sum(_moved_bytes(s) for s in sites if s["in_loop"])
+    once = sum(_moved_bytes(s) for s in sites if not s["in_loop"])
     return {
         "mesh": {"dp": dp, "tp": tp},
         "batch_global": B,

@@ -384,10 +384,14 @@ def test_tp_matvec_crossover_gate(monkeypatch):
     assert not matvec_wins(8, 96)          # K=8: measured wash/loss
 
     monkeypatch.setattr(fa, "on_tpu_backend", lambda: True)
-    assert resolve_tp_fused(None, 48, 96)
-    assert not resolve_tp_fused(None, 8, 96)     # auto: XLA dot
-    assert resolve_tp_fused(True, 8, 96)         # explicit: kernel
-    assert not resolve_tp_fused(False, 48, 96)
+    assert resolve_tp_fused(None, 48, 96, True)
+    assert not resolve_tp_fused(None, 8, 96, True)   # auto: XLA dot
+    # auto also requires the lipq determinism carrier (the tp==1 rule):
+    # without it, per-iteration custom calls could compile the f32
+    # condensation differently from the single-device program
+    assert not resolve_tp_fused(None, 48, 96, False)
+    assert resolve_tp_fused(True, 8, 96, False)      # explicit: kernel
+    assert not resolve_tp_fused(False, 48, 96, True)
 
 
 @pytest.mark.parametrize("lipq_flag", [False, True])
