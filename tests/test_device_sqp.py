@@ -338,6 +338,17 @@ def test_reduce_sym_agrees(pair):
     l_e = (np.asarray(unpack_controls(w_e), np.int64) + 128) % 256 - 128
     assert np.abs(l_s - l_e).max() <= 1
 
+    # correlated (non-diagonal) PSD Q exercises the eigh factor with
+    # off-diagonal terms: still f32-roundoff agreement with einsum
+    A = np.array([[1.0, 0.3, 0.0], [0.0, 0.8, 0.2], [0.1, 0.0, 0.4]])
+    Qc = A @ A.T
+    dc_s = DeviceSQP(**kw, reduce="sym", Q=Qc)
+    dc_e = DeviceSQP(**kw, reduce="einsum", Q=Qc)
+    for a, b in zip(dc_s._condense_hg(x0, lanes),
+                    dc_e._condense_hg(x0, lanes)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * (np.abs(b).max() + 1e-12)
+
     # semidefinite Q (zero weight on a state) still factors
     d0 = DeviceSQP(**kw, reduce="sym", Q=np.diag([1.0, 1.0, 0.0]))
     d0._condense_hg(x0, lanes)
